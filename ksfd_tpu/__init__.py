@@ -1,0 +1,67 @@
+"""ksfd_tpu — TPU-native Keller-Segel finite-difference framework.
+
+A from-scratch rebuild of the capabilities of leonavery/KSFD for TPU:
+
+- the symbolic PDE assembly (sympy) compiles to fused XLA/Pallas
+  kernels instead of runtime-generated C ufuncs;
+- PETSc DMDA/TS/SNES/KSP/MUMPS is replaced by an implicit Rosenbrock-W
+  stepper with matrix-free Newton-Krylov (Jacobian action via jax.jvp,
+  GMRES, exact spectral preconditioning of the stiff linear part);
+- MPI domain decomposition becomes jax.sharding over a device mesh
+  (XLA inserts the halo collectives);
+- per-rank HDF5 time series becomes a single sharded checkpoint store
+  with bit-exact restart.
+
+Importing this package enables float64 (jax_enable_x64) unless the
+environment variable KSFD_TPU_X64=0: the PDE system is stiff and the
+parity target vs the reference is 1e-8.
+"""
+
+import os as _os
+
+import jax as _jax
+
+if _os.environ.get("KSFD_TPU_X64", "1") != "0":
+    _jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from .utils import (  # noqa: E402
+    KSFDException,
+    Parameter,
+    ParameterList,
+    Parser,
+    NumericsOptions,
+    decode_numerics,
+    default_parameters,
+    find_duplicates,
+    safe_sympify,
+    jaxify,
+    log,
+)
+from .models import (  # noqa: E402
+    Ligand,
+    LigandGroup,
+    LigandGroups,
+    SolutionParameters,
+)
+from .grid import Grid  # noqa: E402
+
+__all__ = [
+    "KSFDException",
+    "Parameter",
+    "ParameterList",
+    "Parser",
+    "NumericsOptions",
+    "decode_numerics",
+    "default_parameters",
+    "find_duplicates",
+    "safe_sympify",
+    "jaxify",
+    "log",
+    "Ligand",
+    "LigandGroup",
+    "LigandGroups",
+    "SolutionParameters",
+    "Grid",
+]

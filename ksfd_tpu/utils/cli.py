@@ -1,0 +1,209 @@
+"""Command-line parsing: @file indirection + numerics subsystem options.
+
+The CLI grammar is compatible with the reference
+(KSFD/ksfdargparse.py:57-128, ksfdsolver2.py:33-52):
+
+- options: ``--name=value``
+- parameters: ``name=value`` (sympy expressions)
+- subsystem blocks: ``--numerics <args...> --`` selects the numerical
+  method (the TPU-native replacement of the reference's ``--petsc``
+  block).  ``--petsc <args...> --`` is *also* accepted: the known PETSc
+  options that have a meaningful equivalent here (-ts_type,
+  -ts_adapt_type, -ts_adapt_clip, -ts_adapt_dt_max/min,
+  -ts_adapt_scale_solve_failed, -ksp_max_it, -ksp_rtol) are translated,
+  the rest are ignored with a debug note, so the reference's options
+  files run unchanged.
+- ``@optionsfile`` indirection with '#' comments (shlex rules).
+"""
+
+import shlex
+import sys
+from argparse import ArgumentParser, SUPPRESS
+from dataclasses import dataclass, field, asdict
+
+from .debug import logger
+
+logMAIN = logger("MAIN")
+
+__all__ = ["Parser", "NumericsOptions", "decode_numerics"]
+
+
+class Parser(ArgumentParser):
+    """ArgumentParser with @file indirection and subsystem extraction.
+
+    ``parse_args`` returns the usual Namespace, plus attributes named
+    after each subsystem ('numerics', 'petsc') holding the raw token
+    lists of the corresponding blocks.
+    """
+
+    subsystems = ["numerics", "petsc"]
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(
+            *args, fromfile_prefix_chars="@", allow_abbrev=False, **kwargs
+        )
+        # For the help message only; the blocks are stripped before the
+        # arguments reach argparse.
+        for subsystem in self.subsystems:
+            self.add_argument(
+                "--" + subsystem,
+                action="append",
+                default=SUPPRESS,
+                help="{s} subsystem arguments; terminate with --".format(s=subsystem),
+            )
+
+    def convert_arg_line_to_args(self, arg_line):
+        return shlex.split(arg_line, comments=True)
+
+    def parse_args(self, args=None, namespace=None):
+        if args is None:
+            args = sys.argv[1:]
+        args = self._read_args_from_files(list(args))
+        sargs = [[] for _ in self.subsystems]
+        for s, subsystem in enumerate(self.subsystems):
+            flag = "--" + subsystem
+            while flag in args:
+                f = args.index(flag)
+                try:
+                    e = args.index("--", f + 1)
+                except ValueError:
+                    e = len(args)
+                sargs[s] += args[f + 1 : e]
+                args[f : e + 1] = []
+        ns = super().parse_args(args, namespace=namespace)
+        for s, subsystem in enumerate(self.subsystems):
+            setattr(ns, subsystem, sargs[s])
+        return ns
+
+
+@dataclass
+class NumericsOptions:
+    """The numerical-method configuration.
+
+    This plays the role of the reference's PETSc options block
+    (e.g. /root/reference/options84 lines 47-71): stepper choice,
+    step-size adaptor, and linear-solver tuning.
+    """
+
+    ts_type: str = "rosw"        # rosw (ROS34PW2 W-method) | beuler
+    adapt_type: str = "basic"    # basic | none
+    dt_min: float = 1e-20
+    dt_max: float = 1e4
+    clip_low: float = 0.1
+    clip_high: float = 5.0
+    safety: float = 0.9
+    rollback_factor: float = 0.25   # -ts_adapt_scale_solve_failed
+    max_snes_failures: int = 100    # consecutive failed-solve limit
+    ksp_type: str = "gmres"      # gmres | direct (dense/banded; small 1D)
+    ksp_max_it: int = 50
+    ksp_rtol: float = 1e-8
+    ksp_restart: int = 20
+    pc_type: str = "spectral"    # spectral (FFT of stiff linear part) | none
+    monitor: bool = False
+    unrecognized: list = field(default_factory=list)
+
+    def asdict(self):
+        return asdict(self)
+
+
+_TS_TYPE_MAP = {
+    "rosw": "rosw",
+    # The reference always ran ROSW in practice; ARKIMEX/beuler were
+    # selectable.  We map arkimex to our W-method as the nearest
+    # stiffly-accurate adaptive implicit method.
+    "arkimex": "rosw",
+    "beuler": "beuler",
+}
+
+
+def decode_numerics(tokens, petsc_tokens=()):
+    """Build NumericsOptions from --numerics tokens and/or a PETSc block.
+
+    Native tokens use the same ``-key value`` shape as PETSc for
+    familiarity (e.g. ``-ts_type rosw -ksp_rtol 1e-10``).
+    """
+    opts = NumericsOptions()
+    toks = list(petsc_tokens) + list(tokens)
+    i = 0
+
+    def take_value(i):
+        if i + 1 < len(toks) and not toks[i + 1].startswith("-"):
+            return toks[i + 1], i + 2
+        # allow numeric values that start with '-'
+        if i + 1 < len(toks):
+            nxt = toks[i + 1]
+            try:
+                float(nxt)
+                return nxt, i + 2
+            except ValueError:
+                pass
+        return None, i + 1
+
+    while i < len(toks):
+        tok = toks[i]
+        key = tok.lstrip("-")
+        if key == "ts_type":
+            val, i = take_value(i)
+            if val in _TS_TYPE_MAP:
+                opts.ts_type = _TS_TYPE_MAP[val]
+            else:
+                opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
+        elif key == "ts_adapt_type":
+            val, i = take_value(i)
+            opts.adapt_type = "none" if val == "none" else "basic"
+        elif key == "ts_adapt_dt_max":
+            val, i = take_value(i)
+            opts.dt_max = float(val)
+        elif key == "ts_adapt_dt_min":
+            val, i = take_value(i)
+            opts.dt_min = float(val)
+        elif key == "ts_adapt_clip":
+            val, i = take_value(i)
+            lo, hi = val.split(",")
+            opts.clip_low, opts.clip_high = float(lo), float(hi)
+        elif key == "ts_adapt_scale_solve_failed":
+            val, i = take_value(i)
+            opts.rollback_factor = float(val)
+        elif key in ("ts_adapt_safety",):
+            val, i = take_value(i)
+            opts.safety = float(val)
+        elif key == "ts_max_snes_failures":
+            val, i = take_value(i)
+            opts.max_snes_failures = int(val)
+        elif key == "ksp_max_it":
+            val, i = take_value(i)
+            opts.ksp_max_it = int(val)
+        elif key == "ksp_rtol":
+            val, i = take_value(i)
+            opts.ksp_rtol = float(val)
+        elif key == "ksp_restart" or key == "ksp_gmres_restart":
+            val, i = take_value(i)
+            opts.ksp_restart = int(val)
+        elif key == "ksp_type":
+            val, i = take_value(i)
+            if val in ("gmres", "direct", "preonly"):
+                # PETSc 'preonly + pc_type lu' == a direct solve.
+                opts.ksp_type = "gmres" if val == "gmres" else opts.ksp_type
+                if val == "preonly":
+                    opts.unrecognized.append("ksp_type preonly (kept default)")
+            else:
+                opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
+        elif key == "pc_type":
+            val, i = take_value(i)
+            if val in ("spectral", "none"):
+                opts.pc_type = val
+            else:
+                # lu/mumps etc.: our spectral preconditioner is the
+                # TPU-native stand-in for the direct factorization.
+                opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
+        elif key in ("ts_adapt_monitor", "snes_monitor", "ksp_monitor", "monitor"):
+            val, i = take_value(i)
+            opts.monitor = str(val) not in ("0", "false", "False", None)
+        else:
+            # consume an attached value if one follows
+            val, i = take_value(i)
+            ent = tok if val is None else "{t} {v}".format(t=tok, v=val)
+            opts.unrecognized.append(ent)
+    if opts.unrecognized:
+        logMAIN("ignored numerics options:", opts.unrecognized)
+    return opts

@@ -1,0 +1,101 @@
+"""Tests for the parameter system, CLI parser, and symbolic utilities."""
+
+import math
+
+import pytest
+import sympy as sy
+
+from ksfd_tpu import (
+    KSFDException,
+    ParameterList,
+    Parser,
+    decode_numerics,
+    default_parameters,
+    find_duplicates,
+    safe_sympify,
+)
+
+
+def test_safe_sympify_basics():
+    assert safe_sympify("") is None
+    assert bool(safe_sympify("True")) is True
+    assert bool(safe_sympify("False")) is False
+    assert safe_sympify("2*x") == 2 * sy.Symbol("x")
+    with pytest.raises(KSFDException):
+        safe_sympify("lambda + 1")
+
+
+def test_find_duplicates():
+    assert find_duplicates(["a", "b", "a", "c", "c"]) == ["a", "c"]
+    assert find_duplicates(["a", "b"]) == []
+
+
+def test_parameterlist_decode_and_coercion():
+    pl = ParameterList(default_parameters)
+    pl.decode(["dim=2", "width=2.5", "conserve_worms=True", "s2=sigma**2/2"],
+              allow_new=True)
+    assert pl["dim"] == 2 and isinstance(pl["dim"], int)
+    assert pl["width"] == 2.5 and isinstance(pl["width"], float)
+    assert pl["conserve_worms"] is True
+    assert pl["s2"] == sy.sympify("sigma**2/2")
+
+
+def test_parameterlist_duplicate_and_unknown():
+    pl = ParameterList(default_parameters)
+    with pytest.raises(KSFDException):
+        pl.decode(["dim=1", "dim=2"])
+    with pytest.raises(KeyError):
+        pl.decode(["notaparam=3"])
+    pl.decode(["notaparam=3"], allow_new=True)
+    assert pl["notaparam"] == 3
+
+
+def test_parser_file_indirection_and_subsystems(tmp_path):
+    optfile = tmp_path / "options"
+    optfile.write_text(
+        "# a comment\n"
+        "--save=solutions/run1\n"
+        "dt=1e-3   # trailing comment\n"
+        "'rho0=murho + sin(x)'\n"
+        "--petsc\n"
+        "-ts_type rosw\n"
+        "-ts_adapt_clip 0.1,5\n"
+        "--\n"
+    )
+    parser = Parser()
+    parser.add_argument("--save")
+    parser.add_argument("params", nargs="*")
+    ns = parser.parse_args(["@" + str(optfile)])
+    assert ns.save == "solutions/run1"
+    assert "dt=1e-3" in ns.params
+    assert "rho0=murho + sin(x)" in ns.params
+    assert ns.petsc == ["-ts_type", "rosw", "-ts_adapt_clip", "0.1,5"]
+    assert ns.numerics == []
+
+
+def test_decode_numerics_translates_petsc_block():
+    petsc = [
+        "-ts_type", "rosw",
+        "-ts_adapt_type", "basic",
+        "-ts_adapt_dt_max", "10000",
+        "-ts_adapt_dt_min", "1e-20",
+        "-ts_adapt_clip", "0.1,5",
+        "-ksp_type", "preonly",
+        "-pc_type", "lu",
+        "-pc_factor_mat_solver_type", "mumps",
+        "-snes_type", "ksponly",
+        "-ksp_max_it", "2000",
+        "-options_left", "1",
+    ]
+    opts = decode_numerics([], petsc_tokens=petsc)
+    assert opts.ts_type == "rosw"
+    assert opts.adapt_type == "basic"
+    assert opts.dt_max == 10000.0
+    assert opts.dt_min == 1e-20
+    assert (opts.clip_low, opts.clip_high) == (0.1, 5.0)
+    assert opts.ksp_max_it == 2000
+
+
+def test_decode_numerics_adapt_none():
+    opts = decode_numerics(["-ts_adapt_type", "none"])
+    assert opts.adapt_type == "none"
