@@ -1,0 +1,133 @@
+"""Finite-difference stencil coefficients on the periodic uniform grid.
+
+Coefficients are generated with sympy's
+``Derivative.as_finite_difference`` over the star stencil of half-width
+``sw`` (offsets -sw..sw), matching the reference's construction
+(KSFD/ksfdsym.py:391-436 via KSFD/ksfdgrid.py:155-156: sw = 1 +
+degree//2).  On TPU these coefficients become the weights of shifted
+reads (jnp.roll) fused by XLA, or of Pallas stencil kernels.
+
+Also provides the exact Fourier symbols of the discrete operators,
+used by the spectral preconditioner: on a periodic uniform grid the
+stencil operator is diagonalized by the DFT, with eigenvalue
+``sum_j c_j * exp(2*pi*i*j*m/n)`` at mode m.
+"""
+
+import functools
+
+import numpy as np
+import sympy as sy
+
+__all__ = [
+    "deriv_coeffs",
+    "deriv_apply",
+    "grad_apply",
+    "laplacian_apply",
+    "laplacian_symbol",
+    "shift",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def _deriv_coeffs_unit(deriv_order, sw):
+    """FD coefficients for d^order/dx^order on offsets -sw..sw, h=1."""
+    x = sy.Symbol("x")
+    f = sy.Function("f")
+    points = [sy.Integer(j) for j in range(-sw, sw + 1)]
+    expr = sy.Derivative(f(x), (x, deriv_order)).as_finite_difference(
+        points=points, x0=sy.Integer(0)
+    )
+    coeffs = np.zeros(2 * sw + 1, dtype=float)
+    expr = sy.expand(expr)
+    for j in range(-sw, sw + 1):
+        c = expr.coeff(f(sy.Integer(j)))
+        coeffs[j + sw] = float(c)
+    return coeffs
+
+
+def deriv_coeffs(deriv_order, sw, h=1.0):
+    """Coefficients c_j (j=-sw..sw) with grid spacing ``h`` applied."""
+    return _deriv_coeffs_unit(deriv_order, sw) / float(h) ** deriv_order
+
+
+def shift(field, offset, axis):
+    """Periodic stencil read: value of ``field`` at grid offset +offset.
+
+    field(x_i + offset*h) == field[i + offset] with wraparound, i.e.
+    jnp.roll(field, -offset, axis).  Under jit with sharded inputs XLA
+    lowers this to a neighbor exchange over the mesh.
+    """
+    import jax.numpy as jnp
+
+    return jnp.roll(field, -offset, axis=axis)
+
+
+def deriv_apply(field, d, spacing, sw, first_axis=0, order=1):
+    """d^order/dx_d^order of a scalar field via the FD stencil."""
+    cs = deriv_coeffs(order, sw, spacing[d])
+    axis = first_axis + d
+    acc = None
+    for j in range(-sw, sw + 1):
+        c = cs[j + sw]
+        if c == 0.0:
+            continue
+        term = c * shift(field, j, axis)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def grad_apply(field, spacing, sw, first_axis=0):
+    """Gradient components of a scalar field via the FD stencil.
+
+    Returns a list of ``ndim`` arrays, where ndim counts the axes of
+    ``field`` starting at ``first_axis``.
+    """
+    ndim = field.ndim - first_axis
+    return [
+        deriv_apply(field, d, spacing, sw, first_axis=first_axis, order=1)
+        for d in range(ndim)
+    ]
+
+
+def laplacian_apply(field, spacing, sw, first_axis=0):
+    """Laplacian of a scalar field via the FD stencil."""
+    ndim = field.ndim - first_axis
+    acc = None
+    for d in range(ndim):
+        cs = deriv_coeffs(2, sw, spacing[d])
+        axis = first_axis + d
+        for j in range(-sw, sw + 1):
+            c = cs[j + sw]
+            if c == 0.0:
+                continue
+            term = c * shift(field, j, axis)
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def laplacian_symbol(nps, spacing, sw):
+    """Exact DFT eigenvalues of the discrete Laplacian.
+
+    Returns a real ndarray of shape ``nps`` (with the last axis
+    truncated to n//2+1 for use with rfftn): symbol[m] such that
+    ``ifftn(symbol * fftn(u)) == laplacian_apply(u)`` exactly.
+
+    The per-axis symbol of the symmetric second-derivative stencil is
+    ``c_0 + 2*sum_{j>0} c_j cos(2 pi j m / n)``.
+    """
+    ndim = len(nps)
+    axes = []
+    for d in range(ndim):
+        n = int(nps[d])
+        cs = deriv_coeffs(2, sw, spacing[d])
+        m = np.arange(n)
+        lam = np.full(n, cs[sw])
+        for j in range(1, sw + 1):
+            lam = lam + 2.0 * cs[sw + j] * np.cos(2.0 * np.pi * j * m / n)
+        axes.append(lam)
+    # rfft truncation on the last axis
+    axes[-1] = axes[-1][: nps[-1] // 2 + 1]
+    total = axes[0]
+    for d in range(1, ndim):
+        total = total[..., None] + axes[d]
+    return total
