@@ -1,0 +1,18 @@
+from .steppers import Tableau, ROS34PW2, BEULER, get_tableau, wlte_norm
+from .linalg import SpectralPreconditioner, gmres_solve, dense_solve_factory
+from .solver import Solver, make_step_fn, print_monitor, history_monitor
+
+__all__ = [
+    "Tableau",
+    "ROS34PW2",
+    "BEULER",
+    "get_tableau",
+    "wlte_norm",
+    "SpectralPreconditioner",
+    "gmres_solve",
+    "dense_solve_factory",
+    "Solver",
+    "make_step_fn",
+    "print_monitor",
+    "history_monitor",
+]

@@ -1,0 +1,340 @@
+"""The implicit solve loop: step function builder + outer controller.
+
+Replaces the reference's KSFDTS/implicitTS over PETSc TS
+(KSFD/ksfdts.py:53-640).  The entire Rosenbrock-W step — all stage
+RHS evaluations, the Jacobian linearization, the preconditioned Krylov
+(or dense) stage solves, and the embedded error estimate — is ONE
+jitted function; the outer while loop runs on host, mirroring the
+reference's custom solve() loop (KSFD/ksfdts.py:170-229) with its
+grooming, noise injection, worm conservation, CFL clamp, adaptive
+step control, and monitor calls.
+"""
+
+import time as _time
+from datetime import datetime
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.debug import logger
+from ..utils.cli import NumericsOptions
+from .linalg import SpectralPreconditioner, gmres_solve, dense_solve_factory
+from .steppers import get_tableau, wlte_norm
+
+logTS = logger("TS")
+
+__all__ = ["make_step_fn", "Solver"]
+
+
+def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
+    """Build the jitted implicit step: (u, t, h) -> (u1, enorm).
+
+    enorm is the PETSc-style weighted local truncation error of the
+    embedded pair; enorm <= 1 means the step meets atol/rtol.  NaNs in
+    a failed solve propagate into enorm, so a single isfinite check on
+    the host covers divergence detection.
+    """
+    numerics = numerics or NumericsOptions()
+    tab = tableau or get_tableau(numerics.ts_type)
+    use_dense = numerics.ksp_type in ("dense", "direct")
+    precond = None
+    if numerics.pc_type == "spectral" and not use_dense:
+        precond = SpectralPreconditioner(ops.laplacian_symbol(), ops.grid.Sshape)
+    if use_dense:
+        dense_prepare, dense_solve = dense_solve_factory(
+            lambda uu, tt: ops.rhs(uu, tt), ops.grid.Vshape
+        )
+
+    def step(u, t, h):
+        u = ops.groom(u)
+        shift = 1.0 / (h * tab.gamma)
+        # J = df/du at (t, u0), held for the whole step (W-method).
+        f0, jvp_fn = jax.linearize(lambda uu: ops.rhs(uu, t), u)
+
+        if use_dense:
+            J = dense_prepare(u, t)
+        else:
+            W = lambda v: shift * v - jvp_fn(v)
+            if precond is not None:
+                diff, decay = ops.stiff_coefficients(t)
+                Minv = lambda v: precond.apply(v, shift, diff, decay)
+            else:
+                Minv = None
+
+        Ys = []
+        for i in range(tab.stages):
+            Ui = u
+            for j in range(i):
+                if tab.a[i][j]:
+                    Ui = Ui + tab.a[i][j] * Ys[j]
+            if i == 0 and tab.alpha[0] == 0.0:
+                bi = f0
+            else:
+                bi = ops.rhs(Ui, t + tab.alpha[i] * h)
+            for j in range(i):
+                if tab.c[i][j]:
+                    bi = bi + (tab.c[i][j] / h) * Ys[j]
+            if use_dense:
+                Yi = dense_solve(J, shift, bi)
+            else:
+                Yi = gmres_solve(
+                    W,
+                    bi,
+                    M=Minv,
+                    tol=numerics.ksp_rtol,
+                    restart=numerics.ksp_restart,
+                    maxiter=numerics.ksp_max_it,
+                )
+            Ys.append(Yi)
+        u1 = u
+        uhat = u
+        for j in range(tab.stages):
+            u1 = u1 + tab.m[j] * Ys[j]
+            uhat = uhat + tab.m2[j] * Ys[j]
+        enorm = wlte_norm(u1, uhat, atol, rtol)
+        return u1, enorm
+
+    return jax.jit(step), tab
+
+
+class Solver:
+    """Outer adaptive implicit solver (the KSFDTS/implicitTS analog).
+
+    Usage:
+        solver = Solver(ops, numerics, t0=.., dt=.., tmax=.., maxsteps=..)
+        solver.add_monitor(print_monitor)
+        u_final = solver.solve(u0)
+    Monitors are callables monitor(solver, k, t, u) invoked after every
+    accepted step (and once at k=0 before stepping, like the
+    reference).
+    """
+
+    default_hmin = 1e-20
+
+    def __init__(
+        self,
+        ops,
+        numerics=None,
+        t0=0.0,
+        dt=0.001,
+        tmax=20.0,
+        maxsteps=100,
+        rtol=1e-5,
+        atol=1e-5,
+        hmin=None,
+        rng_key=None,
+        lastvart=None,
+    ):
+        self.ops = ops
+        self.ps = ops.ps
+        self.numerics = numerics or NumericsOptions()
+        self.t0 = float(t0)
+        self.dt0 = float(dt)
+        self.tmax = float(tmax)
+        self.maxsteps = int(maxsteps)
+        self.rtol = float(rtol)
+        self.atol = float(atol)
+        self.hmin = float(hmin) if hmin else self.default_hmin
+        self.rng_key = rng_key
+        self.lastvart = lastvart
+        self.monitors = []
+        self.diverged = False
+        self.snes_failures = 0  # stage-solve/step rejections, for parity
+        self.step_fn, self.tableau = make_step_fn(
+            ops, self.numerics, atol=self.atol, rtol=self.rtol
+        )
+        self._vmax_fn = jax.jit(
+            lambda u, t: jnp.stack(
+                [jnp.max(jnp.abs(v)) for v in ops.velocity(u, t)]
+            )
+        )
+        # current state (exposed for monitors/checkpointing)
+        self.k = 0
+        self.t = self.t0
+        self.h = self.dt0
+        self.u = None
+        self.CFL_maxh = None
+        self.last_enorm = None
+
+    # -- monitors -------------------------------------------------------
+    def add_monitor(self, monitor):
+        self.monitors.append(monitor)
+
+    def monitor(self, k, t, u):
+        for m in self.monitors:
+            m(self, k, t, u)
+
+    # -- physics helpers ------------------------------------------------
+    def count_worms(self, u):
+        return float(jnp.sum(u[0]))
+
+    def conserve_worms(self, u, Nworms):
+        """Rescale rho so sum(rho) == Nworms (KSFD/ksfdts.py:248-256)."""
+        correction = Nworms / float(jnp.sum(u[0]))
+        rho = u[0] * correction
+        return jnp.concatenate([rho[None], u[1:]], axis=0)
+
+    def is_noise_time(self, t, lastvart):
+        """VTF(t) - VTF(lastvart) >= 1 (KSFD/ksfdts.py:258-266)."""
+        vrate = self.ps.values(t)["variance_rate"]
+        if not vrate or vrate <= 0.0:
+            return False
+        flast = self.ps.values(lastvart)["variance_timing_function"]
+        fnow = self.ps.values(t)["variance_timing_function"]
+        return float(fnow) - float(flast) >= 1.0
+
+    def add_variance(self, u, dt, t):
+        """Geometric Brownian noise: rho *= exp(sqrt(rate*dt)*N(0,1)).
+
+        Reference: KSFD/ksfdts.py:268-284; here driven by a JAX PRNG
+        key that is part of the checkpointed state (bit-exact resume).
+        """
+        vrate = float(self.ps.values(t)["variance_rate"])
+        if not vrate or vrate <= 0.0:
+            return u
+        if self.rng_key is None:
+            self.rng_key = jax.random.PRNGKey(0)
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        sd = np.sqrt(vrate * dt)
+        stn = jax.random.normal(sub, u[0].shape, dtype=u.dtype)
+        rho = u[0] * jnp.exp(sd * stn)
+        return jnp.concatenate([rho[None], u[1:]], axis=0)
+
+    def CFL_step(self, u, t):
+        """max stable h per the worm-velocity CFL (KSFD/ksfdts.py:302-319)."""
+        vmaxs = np.asarray(self._vmax_fn(u, t))
+        sw = self.ops.grid.stencil_width
+        hmaxs = [
+            np.inf if v == 0.0 else s * sw / v
+            for v, s in zip(vmaxs, self.ops.grid.spacing)
+        ]
+        return float(np.min(hmaxs))
+
+    def CFL_check(self, u, t):
+        self.CFL_maxh = self.CFL_step(u, t)
+        safety = float(self.ps.values(t)["CFL_safety_factor"])
+        if safety > 0.0:
+            maxh = safety * self.CFL_maxh
+            if self.h > maxh:
+                logTS("CFL step exceeded, truncating to", maxh)
+                self.h = maxh
+
+    # -- adaptive control ------------------------------------------------
+    def _new_h_accept(self, h, enorm):
+        n = self.numerics
+        expo = -1.0 / (self.tableau.order + 1)
+        if enorm <= 0.0:
+            hfac = n.clip_high
+        else:
+            hfac = n.safety * float(enorm) ** expo
+        hfac = min(max(hfac, n.clip_low), n.clip_high)
+        return min(max(h * hfac, n.dt_min), n.dt_max)
+
+    def _new_h_reject(self, h, enorm, finite):
+        n = self.numerics
+        if not finite:
+            hfac = n.rollback_factor
+        else:
+            expo = -1.0 / (self.tableau.order + 1)
+            hfac = n.safety * float(enorm) ** expo
+            hfac = min(max(hfac, n.clip_low), 0.9)
+        return max(h * hfac, n.dt_min)
+
+    # -- the loop ---------------------------------------------------------
+    def solve(self, u0, t=None):
+        """Run the timestepper.  Returns the final state array."""
+        n = self.numerics
+        adapt = n.adapt_type != "none"
+        u = jnp.asarray(u0)
+        self.t = self.t0 if t is None else float(t)
+        self.h = min(max(self.dt0, n.dt_min), n.dt_max)
+        self.k = 0
+        self.diverged = False
+        k, t, h = self.k, self.t, self.h
+        u = self.ops.groom(u)
+        self.u = u
+        Nworms = self.count_worms(u)
+        if self.lastvart is None:
+            if "lastvart" in self.ps.params0:
+                self.lastvart = float(self.ps.params0["lastvart"])
+            else:
+                self.lastvart = t
+        cw = self.ps.params0["conserve_worms"]
+        conserve = False if cw == "False" else bool(cw)
+        self.CFL_check(u, t)
+        self.monitor(k, t, u)
+        consecutive_failures = 0
+        while (
+            (not self.diverged)
+            and k < self.maxsteps
+            and t <= self.tmax
+            and h >= self.hmin
+        ):
+            self.k, self.t, self.h = k, t, h
+            u1, enorm = self.step_fn(u, t, h)
+            enorm = float(enorm)
+            finite = np.isfinite(enorm)
+            logTS("step attempt k,t,h,enorm", k, t, h, enorm)
+            if (adapt and (not finite or enorm > 1.0)) or (
+                not adapt and not finite
+            ):
+                # reject
+                self.snes_failures += 1
+                consecutive_failures += 1
+                if consecutive_failures > n.max_snes_failures:
+                    self.diverged = True
+                    break
+                h = self._new_h_reject(h, enorm, finite)
+                continue
+            consecutive_failures = 0
+            k += 1
+            t = t + h
+            self.last_enorm = enorm
+            u = u1
+            if adapt and finite:
+                h = self._new_h_accept(h, enorm)
+            dtv = t - self.lastvart
+            if self.is_noise_time(t, self.lastvart):
+                u = self.add_variance(u, dtv, t)
+                if conserve:
+                    u = self.conserve_worms(u, Nworms)
+                self.lastvart = t
+            u = self.ops.groom(u)
+            self.u, self.k, self.t, self.h = u, k, t, h
+            self.CFL_check(u, t)
+            h = self.h  # CFL may have clamped it
+            self.monitor(k, t, u)
+        self.u, self.k, self.t, self.h = u, k, t, h
+        return u
+
+
+# ---------------------------------------------------------------------
+# standard monitors (reference: KSFD/ksfdts.py:337-497)
+# ---------------------------------------------------------------------
+
+def print_monitor(solver, k, t, u):
+    """Per-step status line on stdout (rank-0-style)."""
+    h = solver.h
+    if getattr(solver, "_lastt", None) is not None:
+        dt = t - solver._lastt
+        out = "clock: %s, step %3d t=%8.3g dt=%8.3g h=%8.3g" % (
+            datetime.now().strftime("%H:%M:%S"), k, t, dt, h,
+        )
+    else:
+        out = "clock: %s, step %3d t=%8.3g h=%8.3g" % (
+            datetime.now().strftime("%H:%M:%S"), k, t, h,
+        )
+    if solver.CFL_maxh is not None:
+        out += " CFL=%8.3g" % (solver.CFL_maxh,)
+    print(out, flush=True)
+    solver._lastt = t
+
+
+def history_monitor(solver, k, t, u):
+    """Append (step, h, t, copy of u) to solver.history."""
+    if not hasattr(solver, "history"):
+        solver.history = []
+    solver.history.append(
+        dict(step=k, h=solver.h, t=t, u=np.asarray(u).copy())
+    )

@@ -1,0 +1,136 @@
+"""Solver integration tests: stepper order, solve paths, manufactured gate."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ksfd_tpu import NumericsOptions
+from ksfd_tpu.solvers import Solver, make_step_fn, get_tableau
+from manufactured import make_problem, exact_state, LAMDA
+
+
+def _scalar_rosw(tab, f, dfdu, u0, h, T):
+    """Scalar Rosenbrock-W integrator for order checks (pure python)."""
+    u, t = u0, 0.0
+    while t < T - 1e-12:
+        W = 1.0 / (h * tab.gamma) - dfdu(u, t)
+        Ys = []
+        for i in range(tab.stages):
+            Ui = u + sum(tab.a[i][j] * Ys[j] for j in range(i))
+            bi = f(Ui, t + tab.alpha[i] * h) + sum(
+                tab.c[i][j] / h * Ys[j] for j in range(i)
+            )
+            Ys.append(bi / W)
+        u = u + sum(tab.m[j] * Ys[j] for j in range(tab.stages))
+        t += h
+    return u
+
+
+def test_ros34pw2_order3():
+    tab = get_tableau("rosw")
+    f = lambda u, t: -u * u
+    dfdu = lambda u, t: -2 * u
+    errs = [
+        abs(_scalar_rosw(tab, f, dfdu, 1.0, h, 1.0) - 0.5)
+        for h in (0.1, 0.05, 0.025)
+    ]
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    assert min(orders) > 2.8
+
+
+def test_beuler_order1():
+    tab = get_tableau("beuler")
+    f = lambda u, t: -u * u
+    dfdu = lambda u, t: -2 * u
+    errs = [
+        abs(_scalar_rosw(tab, f, dfdu, 1.0, h, 1.0) - 0.5)
+        for h in (0.1, 0.05)
+    ]
+    assert 0.8 < np.log2(errs[0] / errs[1]) < 1.3
+
+
+@pytest.fixture(scope="module")
+def manufactured32():
+    ps, grid, ops = make_problem(nx=32)
+    return ps, grid, ops
+
+
+def test_dense_and_gmres_steps_agree(manufactured32):
+    """One implicit step: exact dense LU vs preconditioned GMRES."""
+    ps, grid, ops = manufactured32
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    dense_fn, _ = make_step_fn(
+        ops, NumericsOptions(ksp_type="dense"), atol=0.01, rtol=1e-6
+    )
+    gmres_fn, _ = make_step_fn(
+        ops, NumericsOptions(ksp_rtol=1e-12), atol=0.01, rtol=1e-6
+    )
+    ud, ed = dense_fn(u0, 0.0, 1.0)
+    ug, eg = gmres_fn(u0, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(ug), np.asarray(ud), rtol=2e-9)
+    assert float(ed) == pytest.approx(float(eg), rel=1e-3)
+
+
+def test_manufactured_solution_gate_dense():
+    """options93-style gate: fixed dt=1, exact exponential solution.
+
+    Solver error after 20 steps must be at the spatial-truncation
+    level, far below the solution's deviation amplitude.
+    """
+    ps, grid, ops = make_problem(nx=64)
+    numerics = NumericsOptions(adapt_type="none", ksp_type="dense")
+    solver = Solver(
+        ops, numerics, t0=0.0, dt=1.0, tmax=1e9, maxsteps=20,
+        rtol=1e-6, atol=0.01,
+    )
+    u0 = exact_state(ps, grid, 0.0)
+    u = np.asarray(solver.solve(jnp.asarray(u0)))
+    assert solver.k == 20 and solver.t == pytest.approx(20.0)
+    uex = exact_state(ps, grid, 20.0)
+    err = np.abs(u - uex).max()
+    # deviation amplitude at t=20 is ~1.08; nx=64 4th-order spatial
+    # truncation keeps the defect ~1e-4
+    assert err < 2e-3, err
+
+
+def test_manufactured_solution_gate_gmres():
+    ps, grid, ops = make_problem(nx=64)
+    numerics = NumericsOptions(adapt_type="none", ksp_rtol=1e-10)
+    solver = Solver(
+        ops, numerics, t0=0.0, dt=1.0, tmax=1e9, maxsteps=20,
+        rtol=1e-6, atol=0.01,
+    )
+    u0 = exact_state(ps, grid, 0.0)
+    u = np.asarray(solver.solve(jnp.asarray(u0)))
+    uex = exact_state(ps, grid, 20.0)
+    assert np.abs(u - uex).max() < 2e-3
+
+
+def test_adaptive_growth_and_monitors(manufactured32):
+    """Adaptive run: h grows at small error; monitors fire per step."""
+    ps, grid, ops = manufactured32
+    numerics = NumericsOptions(ksp_type="dense")
+    solver = Solver(
+        ops, numerics, t0=0.0, dt=0.5, tmax=1e9, maxsteps=10,
+        rtol=1e-6, atol=0.01,
+    )
+    seen = []
+    solver.add_monitor(lambda s, k, t, u: seen.append((k, t)))
+    solver.solve(jnp.asarray(exact_state(ps, grid, 0.0)))
+    assert [k for k, _ in seen] == list(range(11))
+    assert solver.h > 0.5  # error is tiny, controller must grow h
+    assert not solver.diverged
+
+
+def test_reject_and_rollback(manufactured32):
+    """A huge dt must be rejected and cut back, not accepted."""
+    ps, grid, ops = manufactured32
+    numerics = NumericsOptions(ksp_type="dense", max_snes_failures=100)
+    solver = Solver(
+        ops, numerics, t0=0.0, dt=5e4, tmax=1e9, maxsteps=3,
+        rtol=1e-10, atol=1e-8,
+    )
+    solver.solve(jnp.asarray(exact_state(ps, grid, 0.0)))
+    assert solver.snes_failures > 0
+    assert solver.h < 5e4
