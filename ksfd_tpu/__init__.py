@@ -24,6 +24,17 @@ import jax as _jax
 if _os.environ.get("KSFD_TPU_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# The hosting site config may pin jax_platforms (e.g. to a TPU tunnel)
+# before env vars are consulted; KSFD_PLATFORM provides an explicit
+# programmatic override (KSFD_PLATFORM=cpu KSFD_NUM_CPU_DEVICES=8 for a
+# virtual mesh without hardware).
+if _os.environ.get("KSFD_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["KSFD_PLATFORM"])
+if _os.environ.get("KSFD_NUM_CPU_DEVICES"):
+    _jax.config.update(
+        "jax_num_cpu_devices", int(_os.environ["KSFD_NUM_CPU_DEVICES"])
+    )
+
 __version__ = "0.1.0"
 
 from .utils import (  # noqa: E402

@@ -1,0 +1,121 @@
+"""Solver monitors that persist state: save series and checkpoints.
+
+Reference parity: makeSaveMonitor and checkpointMonitor
+(KSFD/ksfdts.py:370-497).  Both store the dilled problem description
+in '/info' (here: stdlib pickle -> uint8 array, see ``picklenp``) plus
+dt and lastvart; our checkpoints additionally carry '/solver_state'
+(step counter + JAX PRNG key) for bit-exact resume.
+"""
+
+import os
+import pickle
+import zipfile
+
+import numpy as np
+
+from ..utils.debug import logger
+from .timeseries import TimeSeries
+
+logSERIES = logger("SERIES")
+
+__all__ = [
+    "picklenp",
+    "pickleunp",
+    "make_save_monitor",
+    "make_checkpoint_monitor",
+    "write_info",
+]
+
+
+def picklenp(obj):
+    """Pickle an object into a uint8 ndarray (HDF5-storable).
+
+    The analog of the reference's dillnp (KSFD/ksfdtsmaker.py:10-29).
+    """
+    return np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+
+
+def pickleunp(arr):
+    return pickle.loads(np.asarray(arr).tobytes())
+
+
+def write_info(tseries, clargs=None, ps=None, sources=None):
+    """Store the problem description in /info (reference names)."""
+    if clargs is not None:
+        tseries.try_to_set("/info/commandlineArguments", picklenp(clargs))
+    if ps is not None:
+        tseries.try_to_set("/info/SolutionParameters", picklenp(ps))
+    if sources is not None:
+        tseries.try_to_set("/info/sources", picklenp(sources))
+
+
+def make_save_monitor(tseries):
+    """(monitor, closer) writing every accepted step into ``tseries``.
+
+    The file is reopened and temp-closed around every write so an
+    abort never leaves it corrupt (KSFD/ksfdts.py:481-496).
+    """
+
+    def save_monitor(solver, k, t, u):
+        if not tseries.tsFile:
+            tseries.reopen()
+        tseries.store(np.asarray(u), t, k=k)
+        tseries.save_solver_state(
+            t=t,
+            dt=solver.h,
+            lastvart=solver.lastvart,
+            rng_key=solver.rng_key,
+            k=k,
+        )
+        tseries.temp_close()
+
+    def close_save_monitor():
+        pass  # creator owns the TimeSeries
+
+    return save_monitor, close_save_monitor
+
+
+def make_checkpoint_monitor(prefix, grid, clargs=None, ps=None, sources=None,
+                            retries=0, retry_interval=60):
+    """Monitor writing a standalone one-snapshot TimeSeries per step.
+
+    Checkpoint k is named '<prefix>_<k>_'.  If ``prefix`` ends with
+    '.zip' each checkpoint file is appended to a per-process zip
+    archive and removed (KSFD/ksfdts.py:370-452).
+    """
+    zipit = prefix.endswith(".zip")
+    realpfx = prefix[:-4] if zipit else prefix
+
+    def checkpoint_monitor(solver, k, t, u):
+        cpname = realpfx + "_" + str(k) + "_"
+        cpf = TimeSeries(
+            cpname, grid=grid, mode="w",
+            retries=retries, retry_interval=retry_interval,
+        )
+        write_info(cpf, clargs=clargs, ps=ps, sources=sources)
+        cpf.save_solver_state(
+            t=t, dt=solver.h, lastvart=solver.lastvart,
+            rng_key=solver.rng_key, k=k,
+        )
+        cpf.store(np.asarray(u), t, k=k)
+        cpfname = cpf.filename
+        cpf.close()
+        if zipit:
+            zfname = realpfx + "s1r0.zip"
+            zfmode = "w" if k == 0 else "a"
+            try:
+                zf = zipfile.ZipFile(
+                    zfname, mode=zfmode, compression=zipfile.ZIP_DEFLATED
+                )
+            except RuntimeError:
+                zf = zipfile.ZipFile(
+                    zfname, mode=zfmode, compression=zipfile.ZIP_STORED
+                )
+            with zf:
+                zf.write(cpfname, arcname=os.path.basename(cpfname))
+            try:
+                os.remove(cpfname)
+            except OSError:
+                pass
+
+    return checkpoint_monitor

@@ -70,6 +70,16 @@ class Parser(ArgumentParser):
                     e = len(args)
                 sargs[s] += args[f + 1 : e]
                 args[f : e + 1] = []
+        # argparse cannot interleave positionals (parameters) with
+        # optionals; group all name=value tokens at the end.  Options
+        # and parameters are independent namespaces, so this preserves
+        # semantics while allowing 'prog @file --resume=x maxsteps=2'.
+        import re as _re
+
+        is_param = lambda a: _re.match(r"^[A-Za-z_]\w*=", a) is not None
+        args = [a for a in args if not is_param(a)] + [
+            a for a in args if is_param(a)
+        ]
         ns = super().parse_args(args, namespace=namespace)
         for s, subsystem in enumerate(self.subsystems):
             setattr(ns, subsystem, sargs[s])

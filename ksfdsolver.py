@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""Solve the Keller-Segel PDE system on TPU (or CPU) with ksfd_tpu.
+
+The TPU-native counterpart of the reference driver
+(/root/reference/ksfdsolver2.py:1-784).  The command-line grammar is
+the same three languages (ksfdsolver2.py:33-52):
+
+- options ``--name=value`` controlling how to solve (save/check/
+  resume/restart/seed/onestep/showparams/source/cappotential/...),
+- parameters ``name=value`` with sympy-expression values describing
+  the problem (users may invent new parameters; dependencies are
+  resolved by topological sort),
+- a numerics block choosing the method: ``--numerics ... --`` (native)
+  or ``--petsc ... --`` (reference options files run unchanged; the
+  meaningful -ts_*/-ksp_* entries are translated, the rest ignored).
+
+Plus ``@optionsfile`` indirection with '#' comments.
+
+Examples:
+    python ksfdsolver.py @options92
+    python ksfdsolver.py dim=2 nelements=256 --save=solutions/run1
+"""
+
+import sys
+
+import numpy as np
+
+from ksfd_tpu import (
+    Grid,
+    KSFDException,
+    Parser,
+    SolutionParameters,
+    decode_numerics,
+)
+from ksfd_tpu.ops import PDEOperators, SpatialExpression
+from ksfd_tpu.solvers import Solver, print_monitor
+from ksfd_tpu.io import TimeSeries, make_save_monitor, make_checkpoint_monitor, write_info
+from ksfd_tpu.ic import initial_values
+from ksfd_tpu.randomfield import Generator
+from ksfd_tpu.utils import find_duplicates
+from ksfd_tpu.utils.debug import logger
+
+logMAIN = logger("MAIN")
+
+
+def parse_commandline(args=None):
+    parser = Parser(description="Solve Keller-Segel PDEs (TPU-native)")
+    parser.add_argument("--cappotential", choices=["tophat", "witch"],
+                        default="tophat",
+                        help="potential function for capping rho")
+    parser.add_argument("--save",
+                        help="filename prefix in which to save results")
+    parser.add_argument("--check", help="filename prefix for checkpoints")
+    parser.add_argument("--resume",
+                        help="resume from last point of a TimeSeries")
+    parser.add_argument("--restart",
+                        help="restart (t=t0) from last point of a TimeSeries")
+    parser.add_argument("--series_retries", type=int, default=0,
+                        help="# retries to open TimeSeries")
+    parser.add_argument("--series_retry_interval", type=int, default=60,
+                        help="time (s) between open retries")
+    parser.add_argument("--mpiok", action="store_true",
+                        help="accepted for compatibility (no-op)")
+    parser.add_argument("--showparams", action="store_true",
+                        help="print all parameters and exit")
+    parser.add_argument("--noperiodic", action="store_true",
+                        help="not implemented: only periodic BCs exist")
+    parser.add_argument("--onestep", action="store_true",
+                        help="exit after one step (pre-compile check)")
+    parser.add_argument("--solver", default="tpu", help="accepted for compat")
+    parser.add_argument("--seed", type=int, default=793817931,
+                        help="random number generator seed")
+    parser.add_argument("--source", type=str, action="append", default=[],
+                        help="source function for rho, U_1_1, ...")
+    parser.add_argument("--flux_form", action="store_true",
+                        help="use the exactly-conservative flux discretization"
+                             " of div(rho grad G) instead of the reference's"
+                             " product-rule form")
+    parser.add_argument("params", type=str, nargs="*",
+                        help="parameter values (name=value, sympy exprs)")
+    return parser.parse_args(args=args)
+
+
+def catch_signals():
+    """Convert catchable signals to KeyboardInterrupt so files close.
+
+    Reference: ksfdsolver2.py:433-471.
+    """
+    import signal as sig
+
+    def handler(signum, frame):
+        raise KeyboardInterrupt("Caught signal " + str(signum))
+
+    for name in (
+        "SIGHUP", "SIGINT", "SIGPIPE", "SIGALRM", "SIGTERM", "SIGXCPU",
+        "SIGXFSZ", "SIGVTALRM", "SIGPROF", "SIGUSR1", "SIGUSR2", "SIGQUIT",
+    ):
+        try:
+            sig.signal(getattr(sig, name), handler)
+        except (OSError, ValueError, AttributeError):
+            pass
+
+
+def decode_sources(sargs, ps, grid):
+    """--source=<field>=<expr> list -> per-field SpatialExpressions.
+
+    Reference: ksfdsolver2.py:473-498.
+    """
+    sources = [0.0] * (ps.nligands + 1)
+    keys = [arg.split("=", maxsplit=1)[0] for arg in sargs]
+    dups = find_duplicates(keys)
+    if dups:
+        raise KSFDException("duplicated sources: " + ", ".join(dups))
+    names = ["rho"] + [lig.name() for lig in ps.groups.ligands()]
+    for k in keys:
+        if k not in names:
+            raise KSFDException("unknown function: " + k)
+    for name in keys:
+        snum = keys.index(name)
+        fnum = names.index(name)
+        _, val = sargs[snum].split("=", maxsplit=1)
+        sources[fnum] = SpatialExpression(ps, grid, val, name="src_" + name)
+    return [
+        s if isinstance(s, SpatialExpression)
+        else SpatialExpression(ps, grid, s)
+        for s in sources
+    ]
+
+
+def main(*args):
+    args = list(args) if args else sys.argv
+    clargs = parse_commandline(args[1:])
+    catch_signals()
+    if clargs.noperiodic:
+        raise KSFDException("--noperiodic not implemented: BCs are periodic")
+    ps = SolutionParameters(clargs)
+    Generator(seed=clargs.seed)
+    if clargs.showparams:
+        for n, p, d, h in ps.params0.params():
+            print("{n}={val} -- {h}".format(n=n, val=p(), h=h))
+        return 0
+    numerics = decode_numerics(clargs.numerics, petsc_tokens=clargs.petsc)
+    grid = Grid(
+        dim=ps.dim,
+        dof=ps.nligands + 1,
+        width=ps.width, height=ps.height, depth=ps.depth,
+        nx=ps.nwidth, ny=ps.nheight, nz=ps.ndepth,
+        order=ps.degree,
+    )
+    sources = decode_sources(clargs.source, ps, grid)
+    u0, t, extras = initial_values(clargs, grid, ps)
+    ops = PDEOperators(ps, grid, sources=sources,
+                       flux_form=clargs.flux_form)
+    if clargs.save:
+        tseries = TimeSeries(
+            clargs.save, grid=grid, mode="w",
+            retries=clargs.series_retries,
+            retry_interval=clargs.series_retry_interval,
+        )
+        write_info(tseries, clargs=clargs, ps=ps, sources=sources)
+        tseries.try_to_set("/info/dt", float(ps.params0["dt"]))
+        if "lastvart" in ps.params0:
+            tseries.try_to_set(
+                "/info/lastvart", float(ps.params0["lastvart"])
+            )
+        tseries.flush()
+    else:
+        tseries = None
+    maxsteps = 1 if clargs.onestep else int(ps.params0["maxsteps"])
+    solver = Solver(
+        ops,
+        numerics,
+        t0=t,
+        dt=float(ps.params0["dt"]),
+        tmax=float(ps.params0["tmax"]),
+        maxsteps=maxsteps,
+        rtol=float(ps.params0["rtol"]),
+        atol=float(ps.params0["atol"]),
+        rng_key=extras.get("rng_key", Generator.current_key()),
+        lastvart=(
+            float(ps.params0["lastvart"])
+            if "lastvart" in ps.params0 else None
+        ),
+    )
+    solver.add_monitor(print_monitor)
+    closer = None
+    if tseries is not None:
+        save_monitor, closer = make_save_monitor(tseries)
+        solver.add_monitor(save_monitor)
+    if clargs.check:
+        solver.add_monitor(
+            make_checkpoint_monitor(
+                clargs.check, grid, clargs=clargs, ps=ps, sources=sources,
+                retries=clargs.series_retries,
+                retry_interval=clargs.series_retry_interval,
+            )
+        )
+    status = 0
+    try:
+        import jax.numpy as jnp
+
+        solver.solve(jnp.asarray(u0), t=t)
+    except KeyboardInterrupt as e:
+        print("KeyboardInterrupt:", str(e))
+    except Exception as e:
+        print("Exception:", str(e))
+        import traceback
+
+        traceback.print_exc()
+        status = 1
+    if tseries is not None:
+        if closer:
+            closer()
+        tseries.close()
+    print("solve failures =", solver.snes_failures)
+    return status
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,9 +68,11 @@ def make_problem(nx=64, extra_params=(), **clargs_kw):
     from ksfd_tpu import Grid, SolutionParameters
     from ksfd_tpu.ops import PDEOperators, SpatialExpression
 
-    params = [p for p in OPTIONS92_PARAMS if not p.startswith("nelements=")]
-    params.append("nelements=%d" % nx)
-    params.extend(extra_params)
+    overrides = ["nelements=%d" % nx] + list(extra_params)
+    okeys = {p.split("=", 1)[0] for p in overrides}
+    params = [
+        p for p in OPTIONS92_PARAMS if p.split("=", 1)[0] not in okeys
+    ] + overrides
     ps = SolutionParameters(make_clargs(params=params, **clargs_kw))
     grid = Grid(
         dim=1, width=ps.width, nx=ps.nwidth, dof=ps.nligands + 1,

@@ -1,0 +1,167 @@
+"""Tests for the TimeSeries store, monitors, random fields, and resume."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ksfd_tpu import Grid, NumericsOptions
+from ksfd_tpu.io import (
+    TimeSeries,
+    Gatherer,
+    make_save_monitor,
+    make_checkpoint_monitor,
+    picklenp,
+    pickleunp,
+    write_info,
+)
+from ksfd_tpu.randomfield import Generator, random_function, bump_kernel
+from ksfd_tpu.solvers import Solver
+from ksfd_tpu import ic as ksfd_ic
+from manufactured import make_problem, exact_state
+from helpers import make_clargs
+
+
+def test_store_retrieve_roundtrip(tmp_path):
+    grid = Grid(dim=2, nx=8, ny=8, dof=3)
+    prefix = str(tmp_path / "run")
+    ts = TimeSeries(prefix, grid=grid, mode="w")
+    rng = np.random.default_rng(0)
+    snaps = {t: rng.standard_normal(grid.Vshape) for t in (0.0, 1.0, 2.5)}
+    for k, (t, v) in enumerate(snaps.items()):
+        ts.store(v, t, k=k)
+    ts.close()
+    assert os.path.exists(prefix + "s1r0.h5")
+    ts2 = TimeSeries(prefix, mode="r")
+    assert ts2.grid == grid  # reconstructed from /grid
+    np.testing.assert_array_equal(ts2.sorted_times(), [0.0, 1.0, 2.5])
+    np.testing.assert_array_equal(ts2.retrieve_by_number(1), snaps[1.0])
+    # linear interpolation between snapshots
+    mid = ts2.retrieve_by_time(0.5)
+    np.testing.assert_allclose(mid, 0.5 * (snaps[0.0] + snaps[1.0]))
+    # exact time
+    np.testing.assert_array_equal(ts2.retrieve_by_time(2.5), snaps[2.5])
+    # out of range clamps
+    np.testing.assert_array_equal(ts2.retrieve_by_time(99.0), snaps[2.5])
+    ts2.close()
+
+
+def test_temp_close_reopen(tmp_path):
+    grid = Grid(dim=1, nx=16, dof=2)
+    ts = TimeSeries(str(tmp_path / "tc"), grid=grid, mode="w")
+    ts.store(np.ones(grid.Vshape), 0.0, k=0)
+    ts.temp_close()
+    ts.reopen()
+    ts.store(2 * np.ones(grid.Vshape), 1.0, k=1)
+    ts.close()
+    ts2 = TimeSeries(str(tmp_path / "tc"), mode="r")
+    assert list(ts2.sorted_times()) == [0.0, 1.0]
+    ts2.close()
+
+
+def test_info_pickle_roundtrip(tmp_path):
+    grid = Grid(dim=1, nx=8, dof=2)
+    ts = TimeSeries(str(tmp_path / "info"), grid=grid, mode="w")
+    clargs = make_clargs(params=["foo=1"])
+    write_info(ts, clargs=clargs)
+    ts.close()
+    ts2 = TimeSeries(str(tmp_path / "info"), mode="r")
+    back = pickleunp(ts2.info["commandlineArguments"][()])
+    assert back.params == ["foo=1"]
+    ts2.close()
+
+
+def test_bump_kernel_partition_of_unity():
+    u = np.linspace(0, 1, 11)
+    np.testing.assert_allclose(bump_kernel(u) + bump_kernel(1 - u), 1.0)
+
+
+def test_random_function_same_grid_identity():
+    grid = Grid(dim=1, nx=32, dof=1)
+    vals = np.arange(32, dtype=float)
+    np.testing.assert_array_equal(random_function(grid, grid, vals), vals)
+
+
+def test_random_function_interpolates_coarse_exact_at_vertices():
+    fine = Grid(dim=1, width=1.0, nx=32, dof=1)
+    coarse = Grid(dim=1, width=1.0, nx=8, dof=1)
+    vals = np.sin(np.arange(8))
+    out = random_function(fine, coarse, vals)
+    # at coincident points (every 4th), the interpolant equals vals
+    np.testing.assert_allclose(out[::4], vals, atol=1e-12)
+    # smooth in between: midpoints are the average (f(0.5)=0.5)
+    np.testing.assert_allclose(
+        out[2::4], 0.5 * (vals + np.roll(vals, -1)), atol=1e-12
+    )
+
+
+def test_random_function_2d_partition_of_unity():
+    fine = Grid(dim=2, width=1.0, height=1.0, nx=16, ny=16, dof=1)
+    coarse = Grid(dim=2, width=1.0, height=1.0, nx=4, ny=4, dof=1)
+    out = random_function(fine, coarse, np.ones((4, 4)))
+    np.testing.assert_allclose(out, 1.0, atol=1e-12)
+
+
+def test_start_values_deterministic_with_seed():
+    ps, grid, ops = make_problem(
+        nx=32,
+        extra_params=["srho0=90", "rho0=9000", "U0_1_1=", "U0_2_1="],
+    )
+    clargs = ps.clargs
+    Generator.set_key(jax.random.PRNGKey(42))
+    u1, t1 = ksfd_ic.start_values(clargs, grid, ps)
+    Generator.set_key(jax.random.PRNGKey(42))
+    u2, t2 = ksfd_ic.start_values(clargs, grid, ps)
+    np.testing.assert_array_equal(u1, u2)
+    assert t1 == 0.0
+    # rho has noise; ligands at local steady state rho*s/gamma (==rho)
+    assert np.std(u1[0]) > 0
+    np.testing.assert_allclose(u1[1], u1[0] * (0.01 / 0.01))
+
+
+def test_save_monitor_and_bitexact_resume(tmp_path):
+    """Run 6 steps saving; resume from step 3's checkpoint; states match."""
+    ps, grid, ops = make_problem(nx=32)
+    numerics = NumericsOptions(ksp_type="dense", adapt_type="none")
+
+    prefix = str(tmp_path / "save")
+    cpprefix = str(tmp_path / "checks/cp")
+    ts = TimeSeries(prefix, grid=grid, mode="w")
+    solver = Solver(ops, numerics, t0=0.0, dt=1.0, tmax=1e9, maxsteps=6,
+                    rtol=1e-6, atol=0.01, rng_key=jax.random.PRNGKey(7))
+    sm, closer = make_save_monitor(ts)
+    solver.add_monitor(sm)
+    solver.add_monitor(make_checkpoint_monitor(cpprefix, grid, clargs=ps.clargs))
+    u_final = np.asarray(solver.solve(jnp.asarray(exact_state(ps, grid, 0.0))))
+    ts.close()
+
+    # resume from checkpoint 3 and retake 3 steps -> identical final state
+    clargs = make_clargs(resume=cpprefix + "_3_", params=[])
+    u3, t3, extras = ksfd_ic.resume_values(clargs, grid, ps)
+    assert t3 == pytest.approx(3.0)
+    assert extras.get("k") == 3
+    solver2 = Solver(ops, numerics, t0=t3, dt=float(ps.params0["dt"]),
+                     tmax=1e9, maxsteps=3, rtol=1e-6, atol=0.01,
+                     rng_key=extras.get("rng_key"))
+    u_resumed = np.asarray(solver2.solve(jnp.asarray(u3), t=t3))
+    np.testing.assert_array_equal(u_resumed, u_final)
+
+    # the save series is also resumable (last point)
+    clargs2 = make_clargs(resume=prefix, params=[])
+    ulast, tlast, _ = ksfd_ic.resume_values(clargs2, grid, ps)
+    assert tlast == pytest.approx(6.0)
+    np.testing.assert_array_equal(ulast, u_final)
+
+
+def test_gatherer_iterates(tmp_path):
+    grid = Grid(dim=1, nx=8, dof=2)
+    prefix = str(tmp_path / "g")
+    ts = TimeSeries(prefix, grid=grid, mode="w")
+    ts.store(np.zeros(grid.Vshape), 0.0, k=0)
+    ts.close()
+    gathered = list(Gatherer(prefix))
+    assert len(gathered) == 1
+    assert gathered[0].ranges == ((0, 8),)
+    gathered[0].close()

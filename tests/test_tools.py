@@ -1,0 +1,138 @@
+"""Tests for the driver CLI, Solution reader, and command-line tools."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ksfd_tpu import NumericsOptions
+from ksfd_tpu.io import TimeSeries, Solution, make_save_monitor, make_checkpoint_monitor, write_info
+from ksfd_tpu.solvers import Solver
+from manufactured import make_problem, exact_state
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def stored_run(tmp_path_factory):
+    """A 4-step stored run with checkpoints, via the library."""
+    tmp = tmp_path_factory.mktemp("run")
+    ps, grid, ops = make_problem(nx=32)
+    numerics = NumericsOptions(ksp_type="dense", adapt_type="none")
+    prefix = str(tmp / "solutions/run")
+    cp = str(tmp / "checks/run")
+    ts = TimeSeries(prefix, grid=grid, mode="w")
+    write_info(ts, clargs=ps.clargs, ps=ps)
+    solver = Solver(ops, numerics, t0=0.0, dt=1.0, tmax=1e9, maxsteps=4,
+                    rtol=1e-6, atol=0.01, rng_key=jax.random.PRNGKey(1))
+    sm, _ = make_save_monitor(ts)
+    solver.add_monitor(sm)
+    solver.add_monitor(make_checkpoint_monitor(cp, grid, clargs=ps.clargs))
+    u = solver.solve(jnp.asarray(exact_state(ps, grid, 0.0)))
+    ts.close()
+    return tmp, prefix, cp, np.asarray(u), ps, grid
+
+
+def test_solution_reader(stored_run):
+    tmp, prefix, cp, ufinal, ps, grid = stored_run
+    soln = Solution(prefix)
+    assert soln.tmin == 0.0 and soln.tmax == 4.0
+    assert soln.grid == grid
+    np.testing.assert_array_equal(soln.images(4.0), ufinal)
+    # problem reconstructed from /info
+    assert soln.ps.nligands == 2
+    assert soln.clargs.params == ps.clargs.params
+    # operators rebuild lazily
+    assert soln.derivatives.nligands == 2
+    vals = soln.params(0.0)
+    assert vals["alpha_1"] == 1500
+    soln.close()
+
+
+def _run_tool(args):
+    return subprocess.run(
+        [sys.executable] + args,
+        capture_output=True, text=True,
+        env=dict(os.environ, KSFD_PLATFORM="cpu", PYTHONPATH=REPO),
+        cwd=REPO,
+    )
+
+
+def test_lastcheckpoint_tool(stored_run):
+    tmp, prefix, cp, *_ = stored_run
+    r = _run_tool([os.path.join(REPO, "tools/lastcheckpoint.py"), cp])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == cp + "_4_"
+    r2 = _run_tool(
+        [os.path.join(REPO, "tools/lastcheckpoint.py"), "--gather", cp]
+    )
+    assert r2.stdout.strip() == cp + "_4_@"
+
+
+def test_tsmerge_tool(stored_run):
+    tmp, prefix, cp, ufinal, ps, grid = stored_run
+    out = str(tmp / "solutions/merged")
+    r = _run_tool(
+        [os.path.join(REPO, "tools/tsmerge.py"), cp + "@", "-o", out]
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    merged = TimeSeries(out, mode="r")
+    np.testing.assert_array_equal(
+        merged.sorted_times(), [0.0, 1.0, 2.0, 3.0, 4.0]
+    )
+    np.testing.assert_array_equal(merged.retrieve_by_time(4.0), ufinal)
+    merged.close()
+
+
+def test_moviemaker_tool(stored_run):
+    tmp, prefix, cp, *_ = stored_run
+    frames = str(tmp / "frames/f")
+    r = _run_tool(
+        [os.path.join(REPO, "tools/moviemaker.py"), "-n", "3",
+         prefix, frames]
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    for i in range(3):
+        assert os.path.exists("{p}{n:04d}.png".format(p=frames, n=i))
+
+
+def test_h5images_tool(stored_run):
+    tmp, prefix, cp, ufinal, ps, grid = stored_run
+    out = str(tmp / "images.h5")
+    r = _run_tool(
+        [os.path.join(REPO, "tools/h5images.py"), "-n", "2", prefix, out]
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    import h5py
+
+    with h5py.File(out, "r") as f:
+        assert f["images1"].shape == grid.Vshape
+        np.testing.assert_array_equal(f["images1"][()], ufinal)
+        assert "params" in f["images1"].attrs
+
+
+def test_driver_cli_end_to_end(tmp_path):
+    """ksfdsolver.py runs a tiny problem from an options file."""
+    optfile = tmp_path / "opts"
+    optfile.write_text(
+        "--save={d}/solutions/cli\n"
+        "dt=1\nmaxsteps=2\ntmax=1e6\nwidth=1\nnelements=16\ndim=1\n"
+        "degree=3\natol=0.01\nrtol=1e-6\nsigma=0.02357\ns2=sigma**2/2\n"
+        "Nworms=0\nsrho0=0\nrho0=9000\n"
+        "ngroups=1\nnligands_1=1\nalpha_1=1500\nbeta_1=5.56e-4\n"
+        "s_1_1=0.01\ngamma_1_1=0.01\nD_1_1=1e-6\n"
+        "--petsc\n-ts_type rosw\n-ts_adapt_type none\n--\n".format(
+            d=tmp_path
+        )
+    )
+    r = _run_tool([os.path.join(REPO, "ksfdsolver.py"), "@" + str(optfile)])
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "step   2" in r.stdout
+    soln = Solution(str(tmp_path / "solutions/cli"))
+    assert soln.tmax == 2.0
+    assert soln.grid.nx == 16
+    soln.close()

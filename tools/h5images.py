@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Dump per-frame field arrays + parameter values to an HDF5 file.
+
+Reference parity: /root/reference/h5images.py — for downstream
+analysis in other tools (e.g. Mathematica), writes datasets
+'images<n>' with attrs t and a JSON params string.
+
+    python tools/h5images.py -n 100 solutions/run1 run1_images.h5
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+import h5py
+
+from ksfd_tpu.io.solution import Solution  # noqa: E402
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="dump solution images")
+    parser.add_argument("-n", "--nframes", type=int, default=100)
+    parser.add_argument("--steps", action="store_true",
+                        help="use stored steps instead of interpolation")
+    parser.add_argument("prefix")
+    parser.add_argument("outfile")
+    args = parser.parse_args(argv)
+    soln = Solution(args.prefix)
+    if args.steps:
+        times = list(soln.tstimes)
+    else:
+        times = np.linspace(soln.tmin, soln.tmax, args.nframes)
+    with h5py.File(args.outfile, "w") as out:
+        out["times"] = np.asarray(times, dtype=float)
+        out["coords"] = np.asarray(soln.grid.coords)
+        for n, t in enumerate(times):
+            ims = soln.images(t)
+            ds = out.create_dataset("images%d" % n, data=np.asarray(ims))
+            ds.attrs["t"] = t
+            if soln.ps is not None:
+                vals = soln.ps.values(t)
+                ds.attrs["params"] = json.dumps(
+                    {k: v for k, v in vals.items()
+                     if isinstance(v, (int, float, bool))}
+                )
+    soln.close()
+    print(args.outfile)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
