@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Benchmark: DOF-updates/sec/chip for the implicit Keller-Segel step.
+
+Workload: the options84-class 2D problem (worm density + attractant +
+repellent ligand groups, periodic, degree-3 stencils) at nx=ny=1024,
+3 dofs = 3.1M DOF, float64 state.  One "update" = one full implicit
+Rosenbrock-W (ROS34PW2) step: 4 stages, Jacobian linearization,
+spectrally preconditioned matrix-free GMRES stage solves, embedded
+error estimate — the same work the reference does per PETSc TSStep
+with analytic-Jacobian assembly + MUMPS LU.
+
+Baseline derivation (BASELINE.md): the reference's only at-scale
+figure is the options84 cluster config — 16 MPI ranks x 8 threads,
+1536^2 x 3 dofs (~7.08M DOF), maxsteps=10000, completing within the
+24 h SLURM walltime (options84s16.sh) => >= 7.08e6*1e4/86400 =
+8.19e5 DOF-updates/sec for the whole 16-rank allocation.
+vs_baseline = (our DOF-updates/sec on ONE chip) / 8.19e5.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+BASELINE_DOF_UPDATES_PER_SEC = 7.08e6 * 1e4 / 86400.0  # 819,200/s
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nx", type=int, default=None,
+                        help="grid points per axis (default 1024 on TPU, "
+                             "256 on CPU)")
+    parser.add_argument("--steps", type=int, default=10,
+                        help="timed steps (after warmup)")
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--dt", type=float, default=1.0)
+    parser.add_argument("--ksp-restart", type=int, default=8)
+    parser.add_argument("--ksp-maxit", type=int, default=16)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, "tests")
+    import __graft_entry__ as ge
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.solvers import make_step_fn
+
+    platform = jax.devices()[0].platform
+    nx = args.nx or (1024 if platform not in ("cpu",) else 256)
+    ps, grid, ops = ge._make_problem(nx, nx)
+    numerics = NumericsOptions(
+        ksp_rtol=1e-8,
+        ksp_restart=args.ksp_restart,
+        ksp_max_it=args.ksp_maxit,
+    )
+    step, _ = make_step_fn(ops, numerics, atol=0.01, rtol=1e-6)
+    u = jnp.asarray(ge._initial_state(grid))
+    t = jnp.asarray(0.0)
+    h = jnp.asarray(args.dt)
+
+    # warmup (compile + cache)
+    for _ in range(args.warmup):
+        u1, enorm = step(u, t, h)
+        u1.block_until_ready()
+    enorm0 = float(enorm)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        u1, enorm = step(u, t, h)
+    u1.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    step_time = elapsed / args.steps
+    dof = grid.n_dofs
+    rate = dof / step_time
+    if args.verbose:
+        print(
+            "platform=%s nx=%d dof=%d step_time=%.4fs enorm=%.3g"
+            % (platform, nx, dof, step_time, enorm0),
+            file=sys.stderr,
+        )
+    assert np.isfinite(float(enorm)), "benchmark step diverged"
+    print(
+        json.dumps(
+            {
+                "metric": "implicit KS step DOF-updates/sec/chip "
+                          "(2D %dx%d, 3 dofs, f64, ROS34PW2+GMRES)" % (nx, nx),
+                "value": round(rate, 1),
+                "unit": "DOF-updates/sec/chip",
+                "vs_baseline": round(rate / BASELINE_DOF_UPDATES_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

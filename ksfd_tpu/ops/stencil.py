@@ -24,6 +24,9 @@ __all__ = [
     "grad_apply",
     "laplacian_apply",
     "laplacian_symbol",
+    "laplacian_eigs",
+    "laplacian_eigendecomp",
+    "real_dft_basis",
     "shift",
 ]
 
@@ -103,6 +106,55 @@ def laplacian_apply(field, spacing, sw, first_axis=0):
             term = c * shift(field, j, axis)
             acc = term if acc is None else acc + term
     return acc
+
+
+def laplacian_eigs(n, h, sw):
+    """Eigenvalues of the periodic 1D second-derivative stencil.
+
+    Mode k (0..n-1) has eigenvalue c_0 + 2*sum_{j>0} c_j cos(2 pi j k/n)
+    — shared by the cos and sin eigenvectors of the circulant operator.
+    """
+    cs = deriv_coeffs(2, sw, h)
+    k = np.arange(n)
+    lam = np.full(n, cs[sw])
+    for j in range(1, sw + 1):
+        lam = lam + 2.0 * cs[sw + j] * np.cos(2.0 * np.pi * j * k / n)
+    return lam
+
+
+def real_dft_basis(n):
+    """Orthonormal real-DFT basis Q (n x n) of symmetric circulants.
+
+    Column 2k/2k+1 hold the cos/sin pair of frequency k; Q is
+    orthogonal (Q Q^T = I) so transforms are plain matmuls — the
+    MXU-friendly, float64-safe alternative to an FFT (TPU XLA has no
+    f64 FFT, and the CPU FFT thunk is layout-fragile under SPMD).
+    The column ordering matches ``dft_mode_freqs(n)``.
+    """
+    i = np.arange(n)[:, None]
+    cols = []
+    freqs = []
+    cols.append(np.full((n, 1), 1.0 / np.sqrt(n)))
+    freqs.append(0)
+    kmax = n // 2
+    for k in range(1, (n + 1) // 2):
+        ang = 2.0 * np.pi * k * i / n
+        cols.append(np.sqrt(2.0 / n) * np.cos(ang))
+        freqs.append(k)
+        cols.append(np.sqrt(2.0 / n) * np.sin(ang))
+        freqs.append(k)
+    if n % 2 == 0:
+        cols.append(((-1.0) ** i) / np.sqrt(n))
+        freqs.append(kmax)
+    Q = np.concatenate(cols, axis=1)
+    return Q, np.asarray(freqs)
+
+
+def laplacian_eigendecomp(n, h, sw):
+    """(Q, lam_per_column) such that L = Q diag(lam) Q^T exactly."""
+    Q, freqs = real_dft_basis(n)
+    lam_k = laplacian_eigs(n, h, sw)
+    return Q, lam_k[freqs]
 
 
 def laplacian_symbol(nps, spacing, sw):

@@ -37,28 +37,78 @@ __all__ = ["SpectralPreconditioner", "gmres_solve", "dense_solve_factory"]
 class SpectralPreconditioner:
     """M^{-1} for W = shift*I - J, inverting the per-field stiff part.
 
-    Per field f:  What_f = shift + decay_f - diff_f * lap_symbol,
-    applied in Fourier space (rfftn over the spatial axes).
-    ``lap_symbol`` are the exact DFT eigenvalues of the discrete
-    Laplacian (<= 0), so What_f >= shift > 0: never singular.
+    Per field f the stiff operator is decay_f - diff_f*Laplacian; on
+    the periodic uniform grid the discrete Laplacian is a symmetric
+    circulant per axis, diagonalized EXACTLY by the orthonormal real
+    DFT basis (ops/stencil.py real_dft_basis).  The transform is
+    applied as per-axis matmuls with that basis — MXU work on TPU,
+    float64-capable (TPU XLA has no f64 FFT), layout-robust, and
+    sharding-transparent (XLA partitions the einsums).
+
+    lam (<= 0) makes What_f = shift + decay_f - diff_f*lam >= shift
+    > 0: never singular.
     """
 
-    def __init__(self, lap_symbol, sshape):
-        self.lap_symbol = jnp.asarray(lap_symbol)
-        self.sshape = tuple(sshape)
-        self.spatial_axes = tuple(range(1, 1 + len(self.sshape)))
+    def __init__(self, grid, compute_dtype=None):
+        """compute_dtype: dtype of the transform matmuls.  The
+        preconditioner is an approximate inverse, so float32 is the
+        default — it runs the basis matmuls on the TPU MXU at full
+        rate while the Krylov iteration itself stays in the solve
+        dtype; only the Krylov convergence rate is (marginally)
+        affected, never the solution."""
+        from ..ops.stencil import laplacian_eigendecomp
+
+        self.sshape = tuple(grid.Sshape)
+        self.dim = grid.dim
+        self.compute_dtype = compute_dtype or jnp.float32
+        sw = grid.stencil_width
+        Qs, lams = [], []
+        for d in range(grid.dim):
+            Q, lam = laplacian_eigendecomp(
+                int(grid.nps[d]), float(grid.spacing[d]), sw
+            )
+            Qs.append(jnp.asarray(Q, dtype=self.compute_dtype))
+            lams.append(lam)
+        self.Qs = Qs
+        # total eigenvalue per spatial mode: lam_x (+ lam_y (+ lam_z))
+        total = lams[0]
+        for d in range(1, grid.dim):
+            total = total[..., None] + lams[d]
+        self.lam = jnp.asarray(total)
+
+    def _forward(self, v):
+        # v: (dof, *sshape) -> spectral coefficients, same shape
+        if self.dim == 1:
+            return jnp.einsum("fi,ik->fk", v, self.Qs[0])
+        if self.dim == 2:
+            return jnp.einsum("fij,ik,jl->fkl", v, self.Qs[0], self.Qs[1])
+        return jnp.einsum(
+            "fijm,ik,jl,mn->fkln", v, self.Qs[0], self.Qs[1], self.Qs[2]
+        )
+
+    def _inverse(self, c):
+        if self.dim == 1:
+            return jnp.einsum("fk,ik->fi", c, self.Qs[0])
+        if self.dim == 2:
+            return jnp.einsum("fkl,ik,jl->fij", c, self.Qs[0], self.Qs[1])
+        return jnp.einsum(
+            "fkln,ik,jl,mn->fijm", c, self.Qs[0], self.Qs[1], self.Qs[2]
+        )
 
     def apply(self, v, shift, diff, decay):
         """v: (dof, *sshape); diff/decay: per-field scalars (traceable)."""
-        vh = jnp.fft.rfftn(v, axes=self.spatial_axes)
-        diff = jnp.stack([jnp.asarray(d, dtype=vh.real.dtype) for d in diff])
-        decay = jnp.stack([jnp.asarray(d, dtype=vh.real.dtype) for d in decay])
+        in_dtype = v.dtype
+        cd = self.compute_dtype
+        c = self._forward(v.astype(cd))
+        diff = jnp.stack([jnp.asarray(d, dtype=cd) for d in diff])
+        decay = jnp.stack([jnp.asarray(d, dtype=cd) for d in decay])
         denom = (
-            shift
-            + decay.reshape((-1,) + (1,) * len(self.sshape))
-            - diff.reshape((-1,) + (1,) * len(self.sshape)) * self.lap_symbol
+            jnp.asarray(shift, dtype=cd)
+            + decay.reshape((-1,) + (1,) * self.dim)
+            - diff.reshape((-1,) + (1,) * self.dim)
+            * self.lam.astype(cd)
         )
-        return jnp.fft.irfftn(vh / denom, s=self.sshape, axes=self.spatial_axes)
+        return self._inverse(c / denom).astype(in_dtype)
 
 
 def gmres_solve(op, b, M=None, tol=1e-8, restart=20, maxiter=50, x0=None):

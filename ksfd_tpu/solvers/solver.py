@@ -40,7 +40,9 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
     use_dense = numerics.ksp_type in ("dense", "direct")
     precond = None
     if numerics.pc_type == "spectral" and not use_dense:
-        precond = SpectralPreconditioner(ops.laplacian_symbol(), ops.grid.Sshape)
+        precond = SpectralPreconditioner(
+            ops.grid, compute_dtype=numerics.pc_dtype
+        )
     if use_dense:
         dense_prepare, dense_solve = dense_solve_factory(
             lambda uu, tt: ops.rhs(uu, tt), ops.grid.Vshape

@@ -108,7 +108,8 @@ class NumericsOptions:
     ksp_max_it: int = 50
     ksp_rtol: float = 1e-8
     ksp_restart: int = 20
-    pc_type: str = "spectral"    # spectral (FFT of stiff linear part) | none
+    pc_type: str = "spectral"    # spectral (stiff-part eigenbasis) | none
+    pc_dtype: str = "float32"    # transform dtype (approx inverse)
     monitor: bool = False
     unrecognized: list = field(default_factory=list)
 

@@ -1,0 +1,74 @@
+"""Sharded-vs-single-device identity: the 'multi-node without a
+cluster' test strategy (SURVEY §4): the same jitted implicit step must
+produce (near-)identical results on an 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ksfd_tpu import Grid, NumericsOptions, SolutionParameters
+from ksfd_tpu.ops import PDEOperators
+from ksfd_tpu.parallel import distribute, grid_mesh, mesh_shape_for, state_sharding
+from ksfd_tpu.solvers import make_step_fn
+from helpers import make_clargs, OPTIONS92_PARAMS
+from manufactured import make_problem, exact_state
+
+
+def test_mesh_shape_factoring():
+    assert mesh_shape_for(8, 1) == (8,)
+    assert sorted(mesh_shape_for(8, 2)) == [2, 4]
+    assert mesh_shape_for(8, 2, nps=(4, 64)) in ((2, 4), (4, 2))
+    assert mesh_shape_for(1, 2) == (1, 1)
+
+
+def test_rhs_sharded_matches_single():
+    ps, grid, ops = make_problem(nx=64)
+    u = jnp.asarray(exact_state(ps, grid, 0.0))
+    rhs = jax.jit(ops.rhs)
+    ref = np.asarray(rhs(u, 0.0))
+    us, mesh = distribute(u, grid)
+    assert mesh.devices.size == 8
+    out = rhs(us, 0.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9, atol=1e-10)
+
+
+def test_step_sharded_matches_single_2d():
+    """Full implicit step (GMRES + FFT precond) on a 2D sharded mesh."""
+    params = [
+        p for p in OPTIONS92_PARAMS
+        if p.split("=", 1)[0] not in
+        ("nelements", "dim", "rho0", "U0_1_1", "U0_2_1")
+    ] + ["nelements=32", "dim=2", "height=1",
+         "rho0=murho + arho*sin(2*pi*(x+y))", "U0_1_1=", "U0_2_1="]
+    ps = SolutionParameters(make_clargs(params=params))
+    grid = Grid(dim=2, width=1.0, height=1.0, nx=32, ny=32,
+                dof=3, order=3)
+    ops = PDEOperators(ps, grid)
+    x = np.arange(32) / 32.0
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u = np.stack([
+        9000 + np.sin(2 * np.pi * (X + Y)),
+        9000 + 0.5 * np.cos(2 * np.pi * X),
+        9000 + 0.25 * np.sin(2 * np.pi * Y),
+    ])
+    u = jnp.asarray(u)
+    step, _ = make_step_fn(ops, NumericsOptions(ksp_rtol=1e-10),
+                           atol=0.01, rtol=1e-6)
+    u1_ref, e_ref = step(u, 0.0, 1.0)
+    us, mesh = distribute(u, grid)
+    u1_sh, e_sh = step(us, 0.0, 1.0)
+    # GMRES reductions reassociate across shards: tolerance not exact
+    np.testing.assert_allclose(
+        np.asarray(u1_sh), np.asarray(u1_ref), rtol=1e-9, atol=1e-9
+    )
+    assert float(e_sh) == pytest.approx(float(e_ref), rel=1e-6, abs=1e-12)
+    # output keeps the sharding (no gather to one device)
+    assert not u1_sh.sharding.is_fully_replicated
+
+
+def test_distribute_preserves_values():
+    ps, grid, ops = make_problem(nx=64)
+    u = jnp.asarray(exact_state(ps, grid, 0.0))
+    us, mesh = distribute(u, grid)
+    np.testing.assert_array_equal(np.asarray(us), np.asarray(u))
