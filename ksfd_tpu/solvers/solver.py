@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..utils.debug import logger
 from ..utils.cli import NumericsOptions
 from .linalg import SpectralPreconditioner, gmres_solve, dense_solve_factory
+from .gmres import gmres_fixed
 from .steppers import get_tableau, wlte_norm
 
 logTS = logger("TS")
@@ -79,7 +80,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
                     bi = bi + (tab.c[i][j] / h) * Ys[j]
             if use_dense:
                 Yi = dense_solve(J, shift, bi)
-            else:
+            elif numerics.ksp_type == "gmres_scipy":
                 Yi = gmres_solve(
                     W,
                     bi,
@@ -88,6 +89,8 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
                     restart=numerics.ksp_restart,
                     maxiter=numerics.ksp_max_it,
                 )
+            else:
+                Yi = gmres_fixed(W, bi, M=Minv, iters=numerics.ksp_iters)
             Ys.append(Yi)
         u1 = u
         uhat = u
@@ -143,9 +146,17 @@ class Solver:
         self.monitors = []
         self.diverged = False
         self.snes_failures = 0  # stage-solve/step rejections, for parity
-        self.step_fn, self.tableau = make_step_fn(
-            ops, self.numerics, atol=self.atol, rtol=self.rtol
-        )
+        if self.numerics.ksp_type == "banded":
+            from .banded_path import make_banded_step
+
+            self.tableau = get_tableau(self.numerics.ts_type)
+            self.step_fn = make_banded_step(
+                ops, self.tableau, atol=self.atol, rtol=self.rtol
+            )
+        else:
+            self.step_fn, self.tableau = make_step_fn(
+                ops, self.numerics, atol=self.atol, rtol=self.rtol
+            )
         self._vmax_fn = jax.jit(
             lambda u, t: jnp.stack(
                 [jnp.max(jnp.abs(v)) for v in ops.velocity(u, t)]

@@ -104,10 +104,12 @@ class NumericsOptions:
     safety: float = 0.9
     rollback_factor: float = 0.25   # -ts_adapt_scale_solve_failed
     max_snes_failures: int = 100    # consecutive failed-solve limit
-    ksp_type: str = "gmres"      # gmres | direct (dense/banded; small 1D)
+    ksp_type: str = "gmres"      # gmres (fixed-iter TPU-native) |
+                                 # gmres_scipy (tol-based) | direct/dense
     ksp_max_it: int = 50
     ksp_rtol: float = 1e-8
     ksp_restart: int = 20
+    ksp_iters: int = 10          # Krylov dim of the fixed-iter solver
     pc_type: str = "spectral"    # spectral (stiff-part eigenbasis) | none
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
     monitor: bool = False
