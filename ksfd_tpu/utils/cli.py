@@ -104,12 +104,14 @@ class NumericsOptions:
     safety: float = 0.9
     rollback_factor: float = 0.25   # -ts_adapt_scale_solve_failed
     max_snes_failures: int = 100    # consecutive failed-solve limit
-    ksp_type: str = "gmres"      # gmres (fixed-iter TPU-native) |
-                                 # gmres_scipy (tol-based) | direct/dense
+    ksp_type: str = "richardson"  # richardson (preconditioned sweeps,
+                                  # TPU default) | gmres (fixed-iter) |
+                                  # gmres_scipy (tol-based) |
+                                  # dense/direct | banded (1D native)
     ksp_max_it: int = 50
     ksp_rtol: float = 1e-8
     ksp_restart: int = 20
-    ksp_iters: int = 10          # Krylov dim of the fixed-iter solver
+    ksp_iters: int = 12           # sweeps / Krylov dim of fixed solvers
     pc_type: str = "spectral"    # spectral (stiff-part eigenbasis) | none
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
     monitor: bool = False
