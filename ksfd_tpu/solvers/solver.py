@@ -274,6 +274,8 @@ class Solver:
         self.diverged = False
         k, t, h = self.k, self.t, self.h
         u = self.ops.groom(u)
+        if hasattr(self.ops, "refresh_G"):
+            u = self.ops.refresh_G(u, t)
         self.u = u
         Nworms = self.count_worms(u)
         if self.lastvart is None:
@@ -322,6 +324,8 @@ class Solver:
                     u = self.conserve_worms(u, Nworms)
                 self.lastvart = t
             u = self.ops.groom(u)
+            if hasattr(self.ops, "refresh_G"):
+                u = self.ops.refresh_G(u, t)
             self.u, self.k, self.t, self.h = u, k, t, h
             self.CFL_check(u, t)
             h = self.h  # CFL may have clamped it

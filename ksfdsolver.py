@@ -76,6 +76,9 @@ def parse_commandline(args=None):
                         help="use the exactly-conservative flux discretization"
                              " of div(rho grad G) instead of the reference's"
                              " product-rule form")
+    parser.add_argument("--with_g", action="store_true",
+                        help="carry the free energy G as an extra stored"
+                             " field (the reference's _with_G variant)")
     parser.add_argument("params", type=str, nargs="*",
                         help="parameter values (name=value, sympy exprs)")
     return parser.parse_args(args=args)
@@ -148,9 +151,25 @@ def main(*args):
         order=ps.degree,
     )
     sources = decode_sources(clargs.source, ps, grid)
-    u0, t, extras = initial_values(clargs, grid, ps)
-    ops = PDEOperators(ps, grid, sources=sources,
-                       flux_form=clargs.flux_form)
+    if clargs.with_g:
+        from ksfd_tpu.ops import WithGOperators, with_g_grid
+
+        full_grid = with_g_grid(grid)
+        ops = WithGOperators(ps, full_grid, sources=sources,
+                             flux_form=clargs.flux_form)
+        if clargs.resume or clargs.restart:
+            # with-G snapshots carry the G slot already
+            u0, t, extras = initial_values(clargs, full_grid, ps)
+        else:
+            u0p, t, extras = initial_values(clargs, grid, ps)
+            u0 = np.concatenate(
+                [u0p, np.zeros((1,) + grid.Sshape)], axis=0
+            )
+        grid = full_grid
+    else:
+        u0, t, extras = initial_values(clargs, grid, ps)
+        ops = PDEOperators(ps, grid, sources=sources,
+                           flux_form=clargs.flux_form)
     if clargs.save:
         tseries = TimeSeries(
             clargs.save, grid=grid, mode="w",
