@@ -136,6 +136,13 @@ class PDEOperators:
         Gexp, _ = self._resolve_td(Gexp, allowed=[rho] + Us)
         self.G_expr = Gexp
         self._G_fn = jaxify([rho] + Us + [_T], Gexp, name="G")
+        # partial derivatives of G w.r.t. each field, used by the
+        # block-spectral preconditioner's mean-state linearization
+        fields = [rho] + Us
+        self._dG_fns = [
+            jaxify(fields + [_T], sy.diff(Gexp, f), name="dG_d" + str(f))
+            for f in fields
+        ]
 
     def _build_ligand_coeffs(self):
         """Per-ligand gamma/s/D as JAX functions of t (TD-aware)."""
@@ -263,3 +270,20 @@ class PDEOperators:
     def laplacian_symbol(self):
         """DFT eigenvalues of the discrete Laplacian on this grid."""
         return laplacian_symbol(self.grid.nps, self.spacing, self.sw)
+
+    def linearization_coefficients(self, means, t):
+        """Mean-state linearization data for the block preconditioner.
+
+        means: per-field mean values (traceable scalars), rho first.
+        Returns (dG, s, gamma, D): dG[i] = dG/dfield_i at the means;
+        s/gamma/D per ligand at time t.  The per-Fourier-mode Jacobian
+        of the uniform-state linearization is then
+
+          J_rho,i(lam) = rho_mean * lam * dG[i]
+          J_Ul,rho     = s_l ;  J_Ul,Ul = -gamma_l + D_l*lam.
+        """
+        dG = [fn(*means, t) for fn in self._dG_fns]
+        s = [c["s"](t) for c in self._lig_coeffs]
+        gamma = [c["gamma"](t) for c in self._lig_coeffs]
+        D = [c["D"](t) for c in self._lig_coeffs]
+        return dG, s, gamma, D

@@ -19,7 +19,12 @@ import jax.numpy as jnp
 
 from ..utils.debug import logger
 from ..utils.cli import NumericsOptions
-from .linalg import SpectralPreconditioner, gmres_solve, dense_solve_factory
+from .linalg import (
+    BlockSpectralPreconditioner,
+    SpectralPreconditioner,
+    dense_solve_factory,
+    gmres_solve,
+)
 from .gmres import gmres_fixed, richardson_solve
 from .steppers import get_tableau, wlte_norm
 
@@ -40,7 +45,13 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
     tab = tableau or get_tableau(numerics.ts_type)
     use_dense = numerics.ksp_type in ("dense", "direct")
     precond = None
-    if numerics.pc_type == "spectral" and not use_dense:
+    block_pc = False
+    if numerics.pc_type == "block" and not use_dense:
+        precond = BlockSpectralPreconditioner(
+            ops.grid, ops, compute_dtype=numerics.pc_dtype
+        )
+        block_pc = True
+    elif numerics.pc_type == "spectral" and not use_dense:
         precond = SpectralPreconditioner(
             ops.grid, compute_dtype=numerics.pc_dtype
         )
@@ -59,7 +70,13 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
             J = dense_prepare(u, t)
         else:
             W = lambda v: shift * v - jvp_fn(v)
-            if precond is not None:
+            if block_pc:
+                nf = ops.nligands + 1
+                means = [jnp.mean(u[i]) for i in range(nf)]
+                Minv = lambda v: precond.apply_linearized(
+                    v, shift, t, means
+                )
+            elif precond is not None:
                 diff, decay = ops.stiff_coefficients(t)
                 Minv = lambda v: precond.apply(v, shift, diff, decay)
             else:

@@ -111,8 +111,11 @@ class NumericsOptions:
     ksp_max_it: int = 50
     ksp_rtol: float = 1e-8
     ksp_restart: int = 20
-    ksp_iters: int = 12           # sweeps / Krylov dim of fixed solvers
-    pc_type: str = "spectral"    # spectral (stiff-part eigenbasis) | none
+    ksp_iters: int = 6            # sweeps / Krylov dim of fixed solvers
+                                  # (block pc converges in ~2-4 sweeps)
+    pc_type: str = "block"       # block (per-mode mean-state
+                                 # linearization inverse, default) |
+                                 # spectral (per-field diagonal) | none
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
     monitor: bool = False
     unrecognized: list = field(default_factory=list)
@@ -205,7 +208,7 @@ def decode_numerics(tokens, petsc_tokens=()):
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
         elif key == "pc_type":
             val, i = take_value(i)
-            if val in ("spectral", "none"):
+            if val in ("spectral", "block", "none"):
                 opts.pc_type = val
             else:
                 # lu/mumps etc.: our spectral preconditioner is the
