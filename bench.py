@@ -38,8 +38,9 @@ def main(argv=None):
                         help="timed steps (after warmup)")
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dt", type=float, default=1.0)
-    parser.add_argument("--ksp-iters", type=int, default=12,
-                        help="preconditioned Richardson sweeps per stage")
+    parser.add_argument("--ksp-iters", type=int, default=None,
+                        help="preconditioned Richardson sweeps per stage "
+                             "(default: the library default)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -55,7 +56,11 @@ def main(argv=None):
     platform = jax.devices()[0].platform
     nx = args.nx or (1024 if platform not in ("cpu",) else 256)
     ps, grid, ops = ge._make_problem(nx, nx)
-    numerics = NumericsOptions(ksp_iters=args.ksp_iters)
+    numerics = (
+        NumericsOptions(ksp_iters=args.ksp_iters)
+        if args.ksp_iters
+        else NumericsOptions()
+    )
     step, _ = make_step_fn(ops, numerics, atol=0.01, rtol=1e-6)
     u = jnp.asarray(ge._initial_state(grid))
     t = jnp.asarray(0.0)

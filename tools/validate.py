@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Run the reference's convergence gate end-to-end and report error.
+
+The options93nx128dt1 workload: 1D n=128, two ligand groups, fixed
+dt=1, 2080 implicit steps, with a closed-form rho source that makes
+the exponentially growing eigenmode solution EXACT for the continuum
+system (we derive the source symbolically from the exact solution —
+tests/manufactured.py).  The reference solved it in ~14 min on the
+author's PC (/root/reference/options93nx128dt1:15-19); the final
+error vs the exact solution measures the solver's spatial+temporal
+discretization quality.
+
+    python tools/validate.py                 # full 2080 steps
+    python tools/validate.py --steps 100 --nx 64
+    python tools/validate.py --ksp banded    # native direct solves
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), os.pardir, "tests")
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nx", type=int, default=128)
+    parser.add_argument("--steps", type=int, default=2080)
+    parser.add_argument("--dt", type=float, default=1.0)
+    parser.add_argument("--ksp", default=None,
+                        help="richardson|gmres|dense|banded")
+    parser.add_argument("--iters", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.solvers import Solver
+    from manufactured import make_problem, exact_state
+
+    ps, grid, ops = make_problem(nx=args.nx)
+    kw = dict(adapt_type="none")
+    if args.ksp:
+        kw["ksp_type"] = args.ksp
+    if args.iters:
+        kw["ksp_iters"] = args.iters
+    numerics = NumericsOptions(**kw)
+    solver = Solver(
+        ops, numerics, t0=0.0, dt=args.dt, tmax=1e18,
+        maxsteps=args.steps, rtol=1e-6, atol=0.01,
+    )
+    u0 = exact_state(ps, grid, 0.0)
+    t0 = time.perf_counter()
+    u = np.asarray(solver.solve(jnp.asarray(u0)))
+    elapsed = time.perf_counter() - t0
+    tfinal = solver.t
+    uex = exact_state(ps, grid, tfinal)
+    err = np.abs(u - uex)
+    amp = np.abs(uex - 9000.0).max()
+    print(
+        "nx=%d steps=%d dt=%g t=%g wall=%.2fs (%.1f steps/s)"
+        % (args.nx, solver.k, args.dt, tfinal, elapsed, solver.k / elapsed)
+    )
+    print(
+        "max abs error=%.3e  deviation amplitude=%.3e  relative=%.3e"
+        % (err.max(), amp, err.max() / amp)
+    )
+    print(
+        "reference figure for this workload: ~14 min for 2080 steps "
+        "(~2.5 steps/s) on the author's PC"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
