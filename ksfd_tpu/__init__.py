@@ -35,6 +35,16 @@ if _os.environ.get("KSFD_NUM_CPU_DEVICES"):
         "jax_num_cpu_devices", int(_os.environ["KSFD_NUM_CPU_DEVICES"])
     )
 
+# Persistent compilation cache: the analog of the reference's
+# AUTOWRAP_SCRATCH ufunc cache (ksfdsolver2.py:336-339) — the same env
+# var is honored so reference workflows carry over.
+_cache_dir = _os.environ.get(
+    "KSFD_COMPILE_CACHE", _os.environ.get("AUTOWRAP_SCRATCH")
+)
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __version__ = "0.1.0"
 
 from .utils import (  # noqa: E402

@@ -79,6 +79,9 @@ def parse_commandline(args=None):
     parser.add_argument("--with_g", action="store_true",
                         help="carry the free energy G as an extra stored"
                              " field (the reference's _with_G variant)")
+    parser.add_argument("--xprof", metavar="DIR",
+                        help="write a JAX profiler (xplane) trace of the"
+                             " solve to DIR")
     parser.add_argument("params", type=str, nargs="*",
                         help="parameter values (name=value, sympy exprs)")
     return parser.parse_args(args=args)
@@ -216,9 +219,17 @@ def main(*args):
         )
     status = 0
     try:
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
 
-        solver.solve(jnp.asarray(u0), t=t)
+        prof = (
+            jax.profiler.trace(clargs.xprof)
+            if clargs.xprof else contextlib.nullcontext()
+        )
+        with prof:
+            solver.solve(jnp.asarray(u0), t=t)
     except KeyboardInterrupt as e:
         print("KeyboardInterrupt:", str(e))
     except Exception as e:
