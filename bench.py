@@ -51,7 +51,7 @@ def main(argv=None):
     sys.path.insert(0, "tests")
     import __graft_entry__ as ge
     from ksfd_tpu import NumericsOptions
-    from ksfd_tpu.solvers import make_step_fn
+    from ksfd_tpu.solvers import make_multistep_fn
 
     platform = jax.devices()[0].platform
     nx = args.nx or (1024 if platform not in ("cpu",) else 256)
@@ -61,20 +61,22 @@ def main(argv=None):
         if args.ksp_iters
         else NumericsOptions()
     )
-    step, _ = make_step_fn(ops, numerics, atol=0.01, rtol=1e-6)
+    # the fused fixed-dt multi-step driver: the steps are CHAINED
+    # (each consumes the previous state) inside one device execution,
+    # exactly like a production fixed-dt run
+    multi, _ = make_multistep_fn(ops, numerics, atol=0.01, rtol=1e-6)
     u = jnp.asarray(ge._initial_state(grid))
     t = jnp.asarray(0.0)
     h = jnp.asarray(args.dt)
 
-    # warmup (compile + cache)
-    for _ in range(args.warmup):
-        u1, enorm = step(u, t, h)
-        u1.block_until_ready()
+    # warmup (compile + cache); nsteps is a static arg so warm up with
+    # the same value as the timed call
+    uw, tw, enorm = multi(u, t, h, args.steps)
+    uw.block_until_ready()
     enorm0 = float(enorm)
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        u1, enorm = step(u, t, h)
+    u1, t1, enorm = multi(u, t, h, args.steps)
     u1.block_until_ready()
     elapsed = time.perf_counter() - t0
 

@@ -1,6 +1,13 @@
 from .steppers import Tableau, ROS34PW2, BEULER, get_tableau, wlte_norm
 from .linalg import SpectralPreconditioner, gmres_solve, dense_solve_factory
-from .solver import Solver, make_step_fn, print_monitor, history_monitor
+from .gmres import gmres_fixed, richardson_solve
+from .solver import (
+    Solver,
+    make_step_fn,
+    make_multistep_fn,
+    print_monitor,
+    history_monitor,
+)
 
 __all__ = [
     "Tableau",
@@ -13,6 +20,9 @@ __all__ = [
     "dense_solve_factory",
     "Solver",
     "make_step_fn",
+    "make_multistep_fn",
+    "gmres_fixed",
+    "richardson_solve",
     "print_monitor",
     "history_monitor",
 ]

@@ -30,7 +30,7 @@ from .steppers import get_tableau, wlte_norm
 
 logTS = logger("TS")
 
-__all__ = ["make_step_fn", "Solver"]
+__all__ = ["make_step_fn", "make_multistep_fn", "Solver"]
 
 
 def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
@@ -128,6 +128,36 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
     return jax.jit(step), tab
 
 
+def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
+                      tableau=None):
+    """Fused fixed-dt multi-step driver: ONE device execution runs
+    ``nsteps`` implicit steps chained through lax.fori_loop.
+
+    Used for fixed-step runs (adapt none, options93-class) and
+    benchmarking: it amortizes per-dispatch host/runtime latency over
+    many steps, keeping the whole integration resident on device.
+    Returns fn(u, t, h, nsteps_static) -> (u_final, t_final,
+    max_enorm).  Grooming runs inside each step as usual; monitors see
+    only block boundaries (the Solver exposes this as block_steps).
+    """
+    step, tab = make_step_fn(
+        ops, numerics, atol=atol, rtol=rtol, tableau=tableau
+    )
+
+    def multi(u, t, h, nsteps):
+        def body(i, carry):
+            u, t, emax = carry
+            u1, enorm = step(u, t, h)
+            return (u1, t + h, jnp.maximum(emax, enorm))
+
+        u, t, emax = jax.lax.fori_loop(
+            0, nsteps, body, (u, t, jnp.zeros_like(jnp.asarray(h)))
+        )
+        return u, t, emax
+
+    return jax.jit(multi, static_argnums=3), tab
+
+
 class Solver:
     """Outer adaptive implicit solver (the KSFDTS/implicitTS analog).
 
@@ -155,7 +185,12 @@ class Solver:
         hmin=None,
         rng_key=None,
         lastvart=None,
+        block_steps=1,
     ):
+        """block_steps > 1 (fixed-dt runs only): fuse that many steps
+        into one device execution (lax.fori_loop) between monitor
+        calls — amortizes dispatch latency; noise/CFL/conservation and
+        monitors then act at block boundaries."""
         self.ops = ops
         self.ps = ops.ps
         self.numerics = numerics or NumericsOptions()
@@ -171,6 +206,8 @@ class Solver:
         self.monitors = []
         self.diverged = False
         self.snes_failures = 0  # stage-solve/step rejections, for parity
+        self.block_steps = int(block_steps)
+        self._multi = None
         if self.numerics.ksp_type == "banded":
             from .banded_path import make_banded_step
 
@@ -182,6 +219,10 @@ class Solver:
             self.step_fn, self.tableau = make_step_fn(
                 ops, self.numerics, atol=self.atol, rtol=self.rtol
             )
+            if self.block_steps > 1 and self.numerics.adapt_type == "none":
+                self._multi, _ = make_multistep_fn(
+                    ops, self.numerics, atol=self.atol, rtol=self.rtol
+                )
         self._vmax_fn = jax.jit(
             lambda u, t: jnp.stack(
                 [jnp.max(jnp.abs(v)) for v in ops.velocity(u, t)]
@@ -312,7 +353,12 @@ class Solver:
             and h >= self.hmin
         ):
             self.k, self.t, self.h = k, t, h
-            u1, enorm = self.step_fn(u, t, h)
+            nblk = 1
+            if self._multi is not None:
+                nblk = max(1, min(self.block_steps, self.maxsteps - k))
+                u1, tnew, enorm = self._multi(u, t, h, nblk)
+            else:
+                u1, enorm = self.step_fn(u, t, h)
             enorm = float(enorm)
             finite = np.isfinite(enorm)
             logTS("step attempt k,t,h,enorm", k, t, h, enorm)
@@ -328,8 +374,8 @@ class Solver:
                 h = self._new_h_reject(h, enorm, finite)
                 continue
             consecutive_failures = 0
-            k += 1
-            t = t + h
+            k += nblk
+            t = t + nblk * h
             self.last_enorm = enorm
             u = u1
             if adapt and finite:
