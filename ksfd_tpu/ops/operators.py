@@ -199,7 +199,7 @@ class PDEOperators:
                 sum(gr * gG for gr, gG in zip(grad_rho, grad_G)) + rho * lap_G
             )
         if self._source_active[0]:
-            drho = drho + self.sources[0](t)
+            drho = drho + self.sources[0](t).astype(drho.dtype)
         outs = [drho]
         for l in range(self.nligands):
             U = u[1 + l]
@@ -210,7 +210,7 @@ class PDEOperators:
                 + c["D"](t) * laplacian_apply(U, self.spacing, self.sw)
             )
             if self._source_active[1 + l]:
-                dU = dU + self.sources[1 + l](t)
+                dU = dU + self.sources[1 + l](t).astype(dU.dtype)
             outs.append(dU)
         return jnp.stack(outs, axis=0)
 

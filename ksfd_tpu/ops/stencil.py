@@ -71,7 +71,9 @@ def deriv_apply(field, d, spacing, sw, first_axis=0, order=1):
     axis = first_axis + d
     acc = None
     for j in range(-sw, sw + 1):
-        c = cs[j + sw]
+        # python float: weak-typed, preserves the field dtype (a
+        # numpy f64 scalar would upcast float32 fields)
+        c = float(cs[j + sw])
         if c == 0.0:
             continue
         term = c * shift(field, j, axis)
@@ -100,7 +102,7 @@ def laplacian_apply(field, spacing, sw, first_axis=0):
         cs = deriv_coeffs(2, sw, spacing[d])
         axis = first_axis + d
         for j in range(-sw, sw + 1):
-            c = cs[j + sw]
+            c = float(cs[j + sw])
             if c == 0.0:
                 continue
             term = c * shift(field, j, axis)

@@ -138,9 +138,19 @@ class BlockSpectralPreconditioner(SpectralPreconditioner):
         self.ops = ops
         self.nfields = ops.nligands + 1
 
-    def apply_linearized(self, v, shift, t, means):
+    def apply_linearized(self, v, shift, t, means, rho_diff=None):
         """v: (dof, *sshape); means: per-field scalars of the STATE
-        being linearized (not of v, which is a residual)."""
+        being linearized (not of v, which is a residual).
+
+        rho_diff: optional scalar upper bound on the rho row's
+        effective diffusivity max_x(rho * dG/drho).  At capped density
+        peaks rho*Vcap' exceeds the mean-state value by orders of
+        magnitude; overestimating the diffusion in M keeps the
+        preconditioned spectrum inside the Richardson stability region
+        (slow modes are then caught by the step-error control), while
+        the mean-state value underestimates it and lets the iteration
+        diverge — the options92 equilibrium exposed exactly this.
+        """
         cd = self.compute_dtype
         in_dtype = v.dtype
         nf = self.nfields
@@ -153,7 +163,10 @@ class BlockSpectralPreconditioner(SpectralPreconditioner):
         # arrow system per mode:
         #   a x_r + sum_l b_l x_l = y_r
         #   c_l x_r + d_l x_l     = y_l
-        a = shift - rho_mean * lam * dG[0]
+        if rho_diff is not None:
+            a = shift - jnp.asarray(rho_diff, dtype=cd) * lam
+        else:
+            a = shift - rho_mean * lam * dG[0]
         y_r = c[0]
         schur = a
         rhs_r = y_r

@@ -60,11 +60,31 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
             lambda uu, tt: ops.rhs(uu, tt), ops.grid.Vshape
         )
 
+    # float32 fast mode: on 2D TPU grids the RHS and the J-action run
+    # as fused Pallas halo-stencil kernels (ops/pallas_stencil.py).
+    fast32 = numerics.precision in ("float32", "f32") and not use_dense
+    pallas_rhs = pallas_jvp = None
+    if fast32 and numerics.use_pallas:
+        from ..ops.pallas_stencil import make_pallas_rhs, pallas_available
+
+        if pallas_available(ops.grid):
+            pallas_rhs, pallas_jvp = make_pallas_rhs(ops)
+
     def step(u, t, h):
+        if fast32:
+            u = u.astype(jnp.float32)
+            h = jnp.asarray(h, dtype=jnp.float32)
+            t = jnp.asarray(t, dtype=jnp.float32)
         u = ops.groom(u)
         shift = 1.0 / (h * tab.gamma)
         # J = df/du at (t, u0), held for the whole step (W-method).
-        f0, jvp_fn = jax.linearize(lambda uu: ops.rhs(uu, t), u)
+        if pallas_rhs is not None:
+            f0 = pallas_rhs(u, t)
+            jvp_fn = lambda v: pallas_jvp(u, v, t)
+            stage_rhs = pallas_rhs
+        else:
+            f0, jvp_fn = jax.linearize(lambda uu: ops.rhs(uu, t), u)
+            stage_rhs = None
 
         if use_dense:
             J = dense_prepare(u, t)
@@ -73,8 +93,12 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
             if block_pc:
                 nf = ops.nligands + 1
                 means = [jnp.mean(u[i]) for i in range(nf)]
+                # pointwise effective rho diffusivity bound (see
+                # linalg.apply_linearized): robust at capped peaks
+                dG0 = ops._dG_fns[0](*[u[i] for i in range(nf)], t)
+                rho_diff = jnp.max(u[0] * dG0)
                 Minv = lambda v: precond.apply_linearized(
-                    v, shift, t, means
+                    v, shift, t, means, rho_diff=rho_diff
                 )
             elif precond is not None:
                 diff, decay = ops.stiff_coefficients(t)
@@ -90,6 +114,8 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
                     Ui = Ui + tab.a[i][j] * Ys[j]
             if i == 0 and tab.alpha[0] == 0.0:
                 bi = f0
+            elif stage_rhs is not None:
+                bi = stage_rhs(Ui, t + tab.alpha[i] * h)
             else:
                 bi = ops.rhs(Ui, t + tab.alpha[i] * h)
             for j in range(i):

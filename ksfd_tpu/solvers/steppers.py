@@ -63,15 +63,18 @@ def _transform(name, A, Gamma, b, b2, order, embedded_order):
     m2 = b2 @ Ginv
     alpha = A.sum(axis=1)
     gamma = float(Gamma[0, 0])
-    tt = lambda M: tuple(tuple(row) for row in M)
+    # python floats: weak-typed under JAX (numpy f64 scalars would
+    # silently upcast float32 states)
+    tt = lambda M: tuple(tuple(float(x) for x in row) for row in M)
+    tv = lambda v: tuple(float(x) for x in v)
     return Tableau(
         name=name,
         gamma=gamma,
         a=tt(a),
         c=tt(C),
-        m=tuple(m),
-        m2=tuple(m2),
-        alpha=tuple(alpha),
+        m=tv(m),
+        m2=tv(m2),
+        alpha=tv(alpha),
         order=order,
         embedded_order=embedded_order,
     )

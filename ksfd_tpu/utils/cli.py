@@ -116,6 +116,9 @@ class NumericsOptions:
     pc_type: str = "block"       # block (per-mode mean-state
                                  # linearization inverse, default) |
                                  # spectral (per-field diagonal) | none
+    precision: str = "float64"   # float64 (parity) | float32 (fast
+                                 # mode; fused Pallas kernels on TPU 2D)
+    use_pallas: bool = True      # allow fused kernels in f32 mode
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
     monitor: bool = False
     unrecognized: list = field(default_factory=list)
@@ -214,6 +217,12 @@ def decode_numerics(tokens, petsc_tokens=()):
                 # lu/mumps etc.: our spectral preconditioner is the
                 # TPU-native stand-in for the direct factorization.
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
+        elif key == "precision":
+            val, i = take_value(i)
+            opts.precision = {
+                "f32": "float32", "f64": "float64",
+                "float32": "float32", "float64": "float64",
+            }.get(val, opts.precision)
         elif key in ("ts_adapt_monitor", "snes_monitor", "ksp_monitor", "monitor"):
             val, i = take_value(i)
             opts.monitor = str(val) not in ("0", "false", "False", None)
