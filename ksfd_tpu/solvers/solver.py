@@ -234,6 +234,9 @@ class Solver:
         self.snes_failures = 0  # stage-solve/step rejections, for parity
         self.block_steps = int(block_steps)
         self._multi = None
+        self._fallback_fn = None
+        self._fb_mode = False
+        self._fb_accepts = 0
         if self.numerics.ksp_type == "banded":
             from .banded_path import make_banded_step
 
@@ -325,6 +328,31 @@ class Solver:
                 logTS("CFL step exceeded, truncating to", maxh)
                 self.h = maxh
 
+    def _get_fallback(self):
+        """Robust (GMRES, more iterations) step for retries.
+
+        The fast Richardson stage solver can diverge when the
+        preconditioner is far off (strong patterns + large dt); GMRES
+        over the same preconditioned space never increases the
+        residual.  The controller retries rejected steps with this
+        before shrinking h, and stays on it (probing the fast path
+        again every 64 accepted steps).
+        """
+        if self.numerics.ksp_type not in ("richardson",):
+            return None
+        if self._fallback_fn is None:
+            import dataclasses
+
+            nm = dataclasses.replace(
+                self.numerics,
+                ksp_type="gmres",
+                ksp_iters=max(24, 2 * self.numerics.ksp_iters),
+            )
+            self._fallback_fn, _ = make_step_fn(
+                self.ops, nm, atol=self.atol, rtol=self.rtol
+            )
+        return self._fallback_fn
+
     # -- adaptive control ------------------------------------------------
     def _new_h_accept(self, h, enorm):
         n = self.numerics
@@ -383,15 +411,33 @@ class Solver:
             if self._multi is not None:
                 nblk = max(1, min(self.block_steps, self.maxsteps - k))
                 u1, tnew, enorm = self._multi(u, t, h, nblk)
+            elif self._fb_mode:
+                u1, enorm = self._get_fallback()(u, t, h)
             else:
                 u1, enorm = self.step_fn(u, t, h)
             enorm = float(enorm)
             finite = np.isfinite(enorm)
             logTS("step attempt k,t,h,enorm", k, t, h, enorm)
-            if (adapt and (not finite or enorm > 1.0)) or (
+            rejected = (adapt and (not finite or enorm > 1.0)) or (
                 not adapt and not finite
+            )
+            if (
+                rejected
+                and not self._fb_mode
+                and self._multi is None
+                and self._get_fallback() is not None
             ):
-                # reject
+                # retry the SAME h with the robust solver before
+                # shrinking (KSFD/ksfdts.py rollback analog, but
+                # escalating solver quality first)
+                u1b, enormb = self._get_fallback()(u, t, h)
+                enormb = float(enormb)
+                if np.isfinite(enormb) and (not adapt or enormb <= 1.0):
+                    u1, enorm, finite, rejected = u1b, enormb, True, False
+                    self._fb_mode = True
+                    self._fb_accepts = 0
+                    logTS("fallback solver engaged at h", h)
+            if rejected:
                 self.snes_failures += 1
                 consecutive_failures += 1
                 if consecutive_failures > n.max_snes_failures:
@@ -400,6 +446,10 @@ class Solver:
                 h = self._new_h_reject(h, enorm, finite)
                 continue
             consecutive_failures = 0
+            if self._fb_mode:
+                self._fb_accepts += 1
+                if self._fb_accepts % 64 == 0:
+                    self._fb_mode = False  # probe the fast path again
             k += nblk
             t = t + nblk * h
             self.last_enorm = enorm
