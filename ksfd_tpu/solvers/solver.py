@@ -170,7 +170,16 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         ops, numerics, atol=atol, rtol=rtol, tableau=tableau
     )
 
+    fast32 = (numerics or NumericsOptions()).precision in (
+        "float32", "f32",
+    )
+
     def multi(u, t, h, nsteps):
+        if fast32:
+            u = u.astype(jnp.float32)
+            t = jnp.asarray(t, dtype=jnp.float32)
+            h = jnp.asarray(h, dtype=jnp.float32)
+
         def body(i, carry):
             u, t, emax = carry
             u1, enorm = step(u, t, h)
