@@ -37,7 +37,6 @@ differenced quantities on f64-computed means to get the best f32
 answer, but quantitative startup-regime work belongs to the f64 path.
 """
 
-import functools
 
 import numpy as np
 import jax

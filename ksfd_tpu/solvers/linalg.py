@@ -20,8 +20,6 @@ block).  TPU-native strategy:
   the correctness oracle for the Krylov path.
 """
 
-import functools
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +29,12 @@ from ..utils.debug import logger
 
 logLIN = logger("LINALG")
 
-__all__ = ["SpectralPreconditioner", "gmres_solve", "dense_solve_factory"]
+__all__ = [
+    "SpectralPreconditioner",
+    "BlockSpectralPreconditioner",
+    "gmres_solve",
+    "dense_solve_factory",
+]
 
 
 class SpectralPreconditioner:

@@ -1,0 +1,91 @@
+"""Tests for solver modes: multistep fusion, GMRES fallback, float32."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ksfd_tpu import NumericsOptions
+from ksfd_tpu.solvers import Solver, make_step_fn, make_multistep_fn
+from manufactured import make_problem, exact_state
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return make_problem(nx=32)
+
+
+def test_multistep_matches_stepping(prob):
+    ps, grid, ops = prob
+    nm = NumericsOptions(adapt_type="none")
+    step, _ = make_step_fn(ops, nm, atol=0.01, rtol=1e-6)
+    multi, _ = make_multistep_fn(ops, nm, atol=0.01, rtol=1e-6)
+    u = jnp.asarray(exact_state(ps, grid, 0.0))
+    uref, t = u, 0.0
+    emax = 0.0
+    for _ in range(4):
+        uref, e = step(uref, t, 1.0)
+        emax = max(emax, float(e))
+        t += 1.0
+    um, tm, em = multi(u, 0.0, 1.0, 4)
+    np.testing.assert_allclose(np.asarray(um), np.asarray(uref),
+                               rtol=1e-12, atol=1e-12)
+    assert float(tm) == pytest.approx(4.0)
+    assert float(em) == pytest.approx(emax, rel=1e-6)
+
+
+def test_solver_block_steps(prob):
+    ps, grid, ops = prob
+    nm = NumericsOptions(adapt_type="none")
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    s1 = Solver(ops, nm, t0=0.0, dt=1.0, tmax=1e9, maxsteps=6,
+                rtol=1e-6, atol=0.01)
+    sB = Solver(ops, nm, t0=0.0, dt=1.0, tmax=1e9, maxsteps=6,
+                rtol=1e-6, atol=0.01, block_steps=3)
+    seen = []
+    sB.add_monitor(lambda s, k, t, u: seen.append(k))
+    u1 = np.asarray(s1.solve(u0))
+    uB = np.asarray(sB.solve(u0))
+    np.testing.assert_allclose(uB, u1, rtol=1e-12, atol=1e-12)
+    assert sB.k == 6 and seen == [0, 3, 6]
+
+
+def test_gmres_fallback_engages(prob):
+    """A dt far beyond the Richardson stability range must not kill the
+    run: the controller retries with the GMRES fallback."""
+    ps, grid, ops = prob
+    nm = NumericsOptions(ksp_iters=2)  # deliberately weak primary
+    solver = Solver(ops, nm, t0=0.0, dt=500.0, tmax=1e9, maxsteps=4,
+                    rtol=1e-6, atol=0.01)
+    u = solver.solve(jnp.asarray(exact_state(ps, grid, 0.0)))
+    assert solver.k == 4
+    assert not solver.diverged
+    assert np.all(np.isfinite(np.asarray(u)))
+    # the fallback was built (i.e. it was needed at least once)
+    assert solver._fallback_fn is not None
+
+
+def test_float32_mode_step(prob):
+    ps, grid, ops = prob
+    s64, _ = make_step_fn(ops, NumericsOptions(), atol=0.01, rtol=1e-6)
+    s32, _ = make_step_fn(
+        ops, NumericsOptions(precision="float32"), atol=0.01, rtol=1e-6
+    )
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    u64, e64 = s64(u0, 0.0, 1.0)
+    u32, e32 = s32(u0, 0.0, 1.0)
+    assert u32.dtype == jnp.float32
+    rel = float(
+        jnp.abs(u32.astype(jnp.float64) - u64).max() / jnp.abs(u64).max()
+    )
+    assert rel < 1e-5
+    assert np.isfinite(float(e32))
+
+
+def test_precision_numerics_decoding():
+    from ksfd_tpu import decode_numerics
+
+    opts = decode_numerics(["-precision", "f32"])
+    assert opts.precision == "float32"
+    opts = decode_numerics(["-precision", "float64"])
+    assert opts.precision == "float64"
