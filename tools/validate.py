@@ -34,7 +34,13 @@ def main(argv=None):
     parser.add_argument("--ksp", default=None,
                         help="richardson|gmres|dense|banded")
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--convergence", action="store_true",
+                        help="run nx=32/64/128 at fixed t and report "
+                             "the spatial convergence order (the "
+                             "reference thesis-section-3.8 test)")
     args = parser.parse_args(argv)
+    if args.convergence:
+        return convergence(args)
 
     import numpy as np
     import jax.numpy as jnp
@@ -74,6 +80,34 @@ def main(argv=None):
         "reference figure for this workload: ~14 min for 2080 steps "
         "(~2.5 steps/s) on the author's PC"
     )
+    return 0
+
+
+def convergence(args):
+    """Fixed-t spatial convergence sweep: error must fall ~h^4
+    (degree-3 stencils => 4th-order central differences)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.solvers import Solver
+    from manufactured import make_problem, exact_state
+
+    steps = min(args.steps, 50)
+    errs = []
+    nxs = [32, 64, 128]
+    for nx in nxs:
+        ps, grid, ops = make_problem(nx=nx)
+        numerics = NumericsOptions(adapt_type="none", ksp_iters=16)
+        solver = Solver(ops, numerics, t0=0.0, dt=args.dt, tmax=1e18,
+                        maxsteps=steps, rtol=1e-6, atol=0.01)
+        u = np.asarray(solver.solve(jnp.asarray(exact_state(ps, grid, 0.0))))
+        err = np.abs(u - exact_state(ps, grid, solver.t)).max()
+        errs.append(err)
+        print("nx=%4d  t=%g  max err=%.4e" % (nx, solver.t, err))
+    for i in range(1, len(nxs)):
+        order = np.log2(errs[i - 1] / errs[i])
+        print("order(%d->%d) = %.2f" % (nxs[i - 1], nxs[i], order))
     return 0
 
 
