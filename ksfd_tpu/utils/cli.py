@@ -197,6 +197,9 @@ def decode_numerics(tokens, petsc_tokens=()):
         elif key == "ksp_rtol":
             val, i = take_value(i)
             opts.ksp_rtol = float(val)
+        elif key == "ksp_iters":
+            val, i = take_value(i)
+            opts.ksp_iters = int(val)
         elif key == "ksp_restart" or key == "ksp_gmres_restart":
             val, i = take_value(i)
             opts.ksp_restart = int(val)
