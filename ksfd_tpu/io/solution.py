@@ -60,11 +60,20 @@ class Solution:
     def derivatives(self):
         """PDEOperators rebuilt from the stored problem (lazy)."""
         if self._derivatives is None and self.solutionParameters is not None:
-            from ..ops import PDEOperators
+            ps = self.solutionParameters
+            if self.grid.dof == ps.nligands + 2:
+                # with-G run: trailing G field in the stored state
+                from ..ops import WithGOperators
 
-            self._derivatives = PDEOperators(
-                self.solutionParameters, self.grid, sources=self.sources
-            )
+                self._derivatives = WithGOperators(
+                    ps, self.grid, sources=self.sources
+                )
+            else:
+                from ..ops import PDEOperators
+
+                self._derivatives = PDEOperators(
+                    ps, self.grid, sources=self.sources
+                )
         return self._derivatives
 
     derivs = derivatives
