@@ -183,17 +183,21 @@ class LigandGroup:
         if self.blank:
             self.nligands = len(vals)
             self.ligands = []
-            gparams = dict(LigandGroups.group_defaults)
-            for p in gparams:
-                if hasattr(self, p):
-                    gparams[p] = getattr(self, p)
             for i in range(self.nligands):
-                lig = Ligand(groupnum=groupnum, **gparams)
+                lig = Ligand(
+                    {n: d for n, d, h in
+                     LigandGroups.default_ligand_parameters}
+                )
+                lig.groupnum = groupnum
+                lig.ligandnum = i + 1
+                lig.nligands = self.nligands
+                for p in LigandGroups.group_defaults:
+                    if hasattr(self, p):
+                        lig[p] = getattr(self, p)
                 self.ligands.append(lig)
         for i, lig in enumerate(self.ligands):
             try:
                 lig[name] = vals[i]
-                lig.ligandnum = i + 1
             except IndexError:
                 pass
         self.blank = False

@@ -49,10 +49,17 @@ from .stencil import deriv_coeffs
 __all__ = ["make_pallas_rhs", "pallas_available"]
 
 
-def pallas_available(grid):
+def pallas_available(grid, ops=None):
+    """Fused kernels support plain 2D operators on TPU.
+
+    with-G states (grid.dof == nligands+2) carry an extra field the
+    kernels don't model; those fall back to the XLA path.
+    """
     try:
         import jax
 
+        if ops is not None and grid.dof != ops.nligands + 1:
+            return False
         return (
             grid.dim == 2
             and jax.devices()[0].platform == "tpu"

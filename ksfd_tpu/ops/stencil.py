@@ -99,14 +99,10 @@ def laplacian_apply(field, spacing, sw, first_axis=0):
     ndim = field.ndim - first_axis
     acc = None
     for d in range(ndim):
-        cs = deriv_coeffs(2, sw, spacing[d])
-        axis = first_axis + d
-        for j in range(-sw, sw + 1):
-            c = float(cs[j + sw])
-            if c == 0.0:
-                continue
-            term = c * shift(field, j, axis)
-            acc = term if acc is None else acc + term
+        term = deriv_apply(
+            field, d, spacing, sw, first_axis=first_axis, order=2
+        )
+        acc = term if acc is None else acc + term
     return acc
 
 
@@ -170,15 +166,9 @@ def laplacian_symbol(nps, spacing, sw):
     ``c_0 + 2*sum_{j>0} c_j cos(2 pi j m / n)``.
     """
     ndim = len(nps)
-    axes = []
-    for d in range(ndim):
-        n = int(nps[d])
-        cs = deriv_coeffs(2, sw, spacing[d])
-        m = np.arange(n)
-        lam = np.full(n, cs[sw])
-        for j in range(1, sw + 1):
-            lam = lam + 2.0 * cs[sw + j] * np.cos(2.0 * np.pi * j * m / n)
-        axes.append(lam)
+    axes = [
+        laplacian_eigs(int(nps[d]), spacing[d], sw) for d in range(ndim)
+    ]
     # rfft truncation on the last axis
     axes[-1] = axes[-1][: nps[-1] // 2 + 1]
     total = axes[0]

@@ -113,7 +113,9 @@ def gmres_fixed(op, b, M=None, iters=8, x0=None):
     x = jnp.zeros_like(r0)
     for j in range(m):
         x = x + y[j] * Vs[j]
+    # beta == 0 means the (preconditioned) initial residual vanished:
+    # the correction is zero, the answer is x0 (or 0 without one)
+    x = jnp.where(beta > 0, x, jnp.zeros_like(x))
     if x0 is not None:
         x = x + flat(x0)
-    x = jnp.where(beta > 0, x, jnp.zeros_like(x))
     return x.reshape(shape)

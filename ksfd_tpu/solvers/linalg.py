@@ -218,24 +218,23 @@ def gmres_solve(op, b, M=None, tol=1e-8, restart=20, maxiter=50, x0=None):
 def dense_solve_factory(rhs, shape, t_and_u_to_J=None):
     """Build exact dense stage solvers for small problems.
 
-    Returns ``prepare(u, t) -> carry`` and
-    ``solve(carry, shift, b) -> y`` where carry holds the dense
-    Jacobian of ``rhs(u, t)`` flattened to (N, N).  ``solve`` factors
-    (shift*I - J) per call; for N ~ 1e3 this is negligible next to
-    the reference's per-stage MUMPS factorizations.
+    Returns ``prepare(u, t, shift) -> carry`` and
+    ``solve(carry, b) -> y``: ``prepare`` builds the Jacobian of
+    ``rhs(u, t)`` and LU-factors (shift*I - J) ONCE per step (shift
+    and J are fixed across the Rosenbrock stages); ``solve`` runs only
+    the O(N^2) triangular solves per stage.
     """
     n = 1
     for s in shape:
         n *= int(s)
 
-    def prepare(u, t):
+    def prepare(u, t, shift):
         flat_rhs = lambda uf: rhs(uf.reshape(shape), t).reshape(-1)
         J = jax.jacfwd(flat_rhs)(u.reshape(-1))
-        return J
-
-    def solve(J, shift, b):
         W = shift * jnp.eye(n, dtype=J.dtype) - J
-        lu, piv = jsl.lu_factor(W)
-        return jsl.lu_solve((lu, piv), b.reshape(-1)).reshape(shape)
+        return jsl.lu_factor(W)
+
+    def solve(lu_piv, b):
+        return jsl.lu_solve(lu_piv, b.reshape(-1)).reshape(shape)
 
     return prepare, solve

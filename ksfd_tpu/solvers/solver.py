@@ -10,7 +10,6 @@ grooming, noise injection, worm conservation, CFL clamp, adaptive
 step control, and monitor calls.
 """
 
-import time as _time
 from datetime import datetime
 
 import numpy as np
@@ -67,7 +66,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
     if fast32 and numerics.use_pallas:
         from ..ops.pallas_stencil import make_pallas_rhs, pallas_available
 
-        if pallas_available(ops.grid):
+        if pallas_available(ops.grid, ops):
             pallas_rhs, pallas_jvp = make_pallas_rhs(ops)
 
     def step(u, t, h):
@@ -87,7 +86,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
             stage_rhs = None
 
         if use_dense:
-            J = dense_prepare(u, t)
+            lu_piv = dense_prepare(u, t, shift)
         else:
             W = lambda v: shift * v - jvp_fn(v)
             if block_pc:
@@ -122,7 +121,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
                 if tab.c[i][j]:
                     bi = bi + (tab.c[i][j] / h) * Ys[j]
             if use_dense:
-                Yi = dense_solve(J, shift, bi)
+                Yi = dense_solve(lu_piv, bi)
             elif numerics.ksp_type == "gmres_scipy":
                 Yi = gmres_solve(
                     W,
@@ -221,11 +220,15 @@ class Solver:
         rng_key=None,
         lastvart=None,
         block_steps=1,
+        k0=0,
     ):
         """block_steps > 1 (fixed-dt runs only): fuse that many steps
         into one device execution (lax.fori_loop) between monitor
         calls — amortizes dispatch latency; noise/CFL/conservation and
-        monitors then act at block boundaries."""
+        monitors then act at block boundaries.
+
+        k0: starting step counter (resumed runs continue numbering so
+        checkpoint files don't overwrite the earlier run's)."""
         self.ops = ops
         self.ps = ops.ps
         self.numerics = numerics or NumericsOptions()
@@ -267,7 +270,8 @@ class Solver:
             )
         )
         # current state (exposed for monitors/checkpointing)
-        self.k = 0
+        self.k0 = int(k0)
+        self.k = self.k0
         self.t = self.t0
         self.h = self.dt0
         self.u = None
@@ -391,7 +395,7 @@ class Solver:
         u = jnp.asarray(u0)
         self.t = self.t0 if t is None else float(t)
         self.h = min(max(self.dt0, n.dt_min), n.dt_max)
-        self.k = 0
+        self.k = self.k0
         self.diverged = False
         k, t, h = self.k, self.t, self.h
         u = self.ops.groom(u)

@@ -205,11 +205,16 @@ def decode_numerics(tokens, petsc_tokens=()):
             opts.ksp_restart = int(val)
         elif key == "ksp_type":
             val, i = take_value(i)
-            if val in ("gmres", "direct", "preonly"):
-                # PETSc 'preonly + pc_type lu' == a direct solve.
-                opts.ksp_type = "gmres" if val == "gmres" else opts.ksp_type
-                if val == "preonly":
-                    opts.unrecognized.append("ksp_type preonly (kept default)")
+            if val in (
+                "richardson", "gmres", "gmres_scipy", "dense", "direct",
+                "banded",
+            ):
+                opts.ksp_type = val
+            elif val == "preonly":
+                # PETSc 'preonly + pc_type lu' == a direct solve; our
+                # default iterative stack plays that role at scale, so
+                # keep the default but note the translation.
+                opts.unrecognized.append("ksp_type preonly (kept default)")
             else:
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
         elif key == "pc_type":

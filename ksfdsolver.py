@@ -203,6 +203,7 @@ def main(*args):
             float(ps.params0["lastvart"])
             if "lastvart" in ps.params0 else None
         ),
+        k0=int(extras.get("k", 0)),
     )
     solver.add_monitor(print_monitor)
     closer = None

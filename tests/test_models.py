@@ -110,3 +110,20 @@ def test_nelements_shortcut_and_override():
     ps = SolutionParameters(make_clargs(params=["nelements=64", "nwidth=32"]))
     assert ps.nwidth == 32
     assert ps.nheight == 64
+
+
+def test_ligand_group_collect():
+    """collect() builds complete ligands from (group, value) pairs."""
+    from ksfd_tpu import LigandGroup
+
+    g = LigandGroup()
+    g.alpha, g.beta = 1500.0, 5.56e-4
+    g.collect([(1, 0.01), (1, 0.02)], "s", groupnum=1)
+    g.collect([(1, 0.1), (1, 0.2)], "gamma", groupnum=1)
+    assert g.nligands == 2
+    assert [l.name() for l in g.ligands] == ["U_1_1", "U_1_2"]
+    assert [l.s for l in g.ligands] == [0.01, 0.02]
+    assert [l.gamma for l in g.ligands] == [0.1, 0.2]
+    # untouched parameters keep their defaults
+    assert all(l.D == 1.0 and l.weight == 1.0 for l in g.ligands)
+    assert all(l.alpha == 1500.0 for l in g.ligands)

@@ -136,3 +136,46 @@ def test_driver_cli_end_to_end(tmp_path):
     assert soln.tmax == 2.0
     assert soln.grid.nx == 16
     soln.close()
+
+
+def test_tsmerge_single_checkpoint_gather(stored_run):
+    """lastcheckpoint --gather output ('<prefix>_<k>_@') must be a
+    valid tsmerge input."""
+    tmp, prefix, cp, ufinal, ps, grid = stored_run
+    out = str(tmp / "solutions/lastonly")
+    r = _run_tool(
+        [os.path.join(REPO, "tools/tsmerge.py"), cp + "_4_@", "-o", out]
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    merged = TimeSeries(out, mode="r")
+    np.testing.assert_array_equal(merged.sorted_times(), [4.0])
+    merged.close()
+
+
+def test_resume_continues_step_numbering(stored_run, tmp_path):
+    """Resumed runs continue the step counter, so new checkpoints do
+    not overwrite the earlier run's (reviewer finding)."""
+    import jax
+
+    tmp, prefix, cp, ufinal, ps, grid = stored_run
+    from ksfd_tpu import ic as ksfd_ic
+    from helpers import make_clargs
+    from ksfd_tpu.io import make_checkpoint_monitor
+    from ksfd_tpu.ops import PDEOperators
+
+    clargs = make_clargs(resume=cp + "_4_", params=[])
+    u4, t4, extras = ksfd_ic.resume_values(clargs, grid, ps)
+    assert extras.get("k") == 4
+    ops = PDEOperators(ps, grid)
+    numerics = NumericsOptions(ksp_type="dense", adapt_type="none")
+    solver = Solver(ops, numerics, t0=t4, dt=1.0, tmax=1e9, maxsteps=6,
+                    rtol=1e-6, atol=0.01, k0=int(extras["k"]))
+    cp2 = str(tmp_path / "cont/cp")
+    solver.add_monitor(make_checkpoint_monitor(cp2, grid))
+    import jax.numpy as jnp
+
+    solver.solve(jnp.asarray(u4), t=t4)
+    assert solver.k == 6  # k0=4 + 2 more steps up to maxsteps
+    assert os.path.exists(cp2 + "_5_s1r0.h5")
+    assert os.path.exists(cp2 + "_6_s1r0.h5")
+    assert not os.path.exists(cp2 + "_0_s1r0.h5")

@@ -26,7 +26,12 @@ from ksfd_tpu.io import TimeSeries, Gatherer
 
 
 def expand_at(prefix):
-    """'checks/run@' -> ['checks/run_0_', 'checks/run_1_', ...]."""
+    """Expand the '@' gather syntax.
+
+    'checks/run@' -> every checkpoint ['checks/run_0_', ...];
+    'checks/run_5_@' (lastcheckpoint --gather output) -> that one
+    checkpoint prefix (its per-rank files are gathered by Gatherer).
+    """
     if not prefix.endswith("@"):
         return [prefix]
     base = prefix[:-1].rstrip("_")
@@ -38,7 +43,14 @@ def expand_at(prefix):
         m = pat.fullmatch(os.path.basename(f))
         if m:
             found[int(m.group(1))] = base + "_" + m.group(1) + "_"
-    return [found[k] for k in sorted(found)]
+    if found:
+        return [found[k] for k in sorted(found)]
+    # single-series form: '<prefix>_<k>_@' or '<prefix>@' with rank
+    # files directly under the bare prefix
+    bare = prefix[:-1]
+    if glob.glob(bare + "s*r*.h5"):
+        return [bare]
+    return []
 
 
 def main(argv=None):
