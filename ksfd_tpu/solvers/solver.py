@@ -192,6 +192,99 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     return jax.jit(multi, static_argnums=3), tab
 
 
+def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
+                           tableau=None, max_attempts=64):
+    """Fused ADAPTIVE integrator chunk: accept/reject control flow on
+    device (lax.while_loop), no host round-trips between steps.
+
+    Where the reference's adaptivity lives in PETSc TSAdapt C callbacks
+    driven per step from the host, this compiles the whole
+    attempt/accept/reject/h-update cycle into the device program:
+    fn(u, t, h, tmax) -> (u, t, h, n_accepted, n_attempts).  Runs until
+    max_attempts step attempts, t > tmax, or h < dt_min.  The Solver
+    calls it in chunks so monitors still fire at chunk boundaries;
+    noise injection and CFL clamping stay on the host path (the Solver
+    auto-disables the fused loop when those are active).
+    """
+    numerics = numerics or NumericsOptions()
+    step, tab = make_step_fn(
+        ops, numerics, atol=atol, rtol=rtol, tableau=tableau
+    )
+    # the robust retry (same escalation as the host loop's fallback):
+    # when the fast stage solver's step is rejected, the SAME h is
+    # retried with GMRES over the same preconditioner before shrinking
+    step_robust = None
+    if numerics.ksp_type == "richardson":
+        import dataclasses
+
+        nm = dataclasses.replace(
+            numerics,
+            ksp_type="gmres",
+            ksp_iters=max(24, 2 * numerics.ksp_iters),
+        )
+        step_robust, _ = make_step_fn(
+            ops, nm, atol=atol, rtol=rtol, tableau=tableau
+        )
+    n = numerics
+    expo = -1.0 / (tab.order + 1)
+
+    def chunk(u, t, h, tmax):
+        t = jnp.asarray(t, dtype=jnp.result_type(float))
+        h = jnp.asarray(h, dtype=t.dtype)
+
+        def cond(c):
+            u, t, h, k, fails, attempts = c
+            return (
+                (attempts < max_attempts)
+                & (t <= tmax)
+                & (h >= n.dt_min)
+                & (fails <= n.max_snes_failures)
+            )
+
+        def body(c):
+            u, t, h, k, fails, attempts = c
+            u1, enorm = step(u, t, h)
+            ok = jnp.isfinite(enorm) & (enorm <= 1.0)
+            if step_robust is not None:
+                # executed only when the fast attempt was rejected
+                u1, enorm = jax.lax.cond(
+                    ok,
+                    lambda uu, tt, hh, r1, e1: (r1, e1),
+                    lambda uu, tt, hh, r1, e1: step_robust(uu, tt, hh),
+                    u, t, h, u1, enorm,
+                )
+                ok = jnp.isfinite(enorm) & (enorm <= 1.0)
+            hfac = n.safety * jnp.power(
+                jnp.maximum(enorm, 1e-300), expo
+            )
+            h_acc = jnp.clip(
+                h * jnp.clip(hfac, n.clip_low, n.clip_high),
+                n.dt_min, n.dt_max,
+            )
+            h_rej = jnp.maximum(
+                h * jnp.where(
+                    jnp.isfinite(enorm),
+                    jnp.clip(hfac, n.clip_low, 0.9),
+                    n.rollback_factor,
+                ),
+                n.dt_min,
+            )
+            u = jnp.where(ok, u1, u)
+            t = jnp.where(ok, t + h, t)
+            h = jnp.where(ok, h_acc, h_rej)
+            k = k + ok.astype(k.dtype)
+            fails = jnp.where(ok, 0, fails + 1)
+            return (u, t, h, k, fails, attempts + 1)
+
+        zero = jnp.asarray(0, dtype=jnp.int32)
+        u, t, h, k, fails, attempts = jax.lax.while_loop(
+            cond, body, (u, t, h, zero, zero, zero)
+        )
+        return u, t, h, k, attempts
+
+    return jax.jit(chunk), tab
+
+
 class Solver:
     """Outer adaptive implicit solver (the KSFDTS/implicitTS analog).
 
@@ -246,6 +339,7 @@ class Solver:
         self.snes_failures = 0  # stage-solve/step rejections, for parity
         self.block_steps = int(block_steps)
         self._multi = None
+        self._chunk = None
         self._fallback_fn = None
         self._fb_mode = False
         self._fb_accepts = 0
@@ -263,6 +357,15 @@ class Solver:
             if self.block_steps > 1 and self.numerics.adapt_type == "none":
                 self._multi, _ = make_multistep_fn(
                     ops, self.numerics, atol=self.atol, rtol=self.rtol
+                )
+            if (
+                self.numerics.device_loop
+                and self.numerics.adapt_type != "none"
+                and not self._dynamics_need_host()
+            ):
+                self._chunk, _ = make_adaptive_chunk_fn(
+                    ops, self.numerics, atol=self.atol, rtol=self.rtol,
+                    max_attempts=32,
                 )
         self._vmax_fn = jax.jit(
             lambda u, t: jnp.stack(
@@ -340,6 +443,19 @@ class Solver:
             if self.h > maxh:
                 logTS("CFL step exceeded, truncating to", maxh)
                 self.h = maxh
+
+    def _dynamics_need_host(self):
+        """Noise injection or CFL clamping require per-step host logic."""
+        v0 = self.ps.values0
+        td = self.ps.tdfuncs
+        noise = (
+            bool(v0.get("variance_rate", 0.0)) or "variance_rate" in td
+        )
+        cfl = (
+            bool(v0.get("CFL_safety_factor", 0.0))
+            or "CFL_safety_factor" in td
+        )
+        return noise or cfl
 
     def _get_fallback(self):
         """Robust (GMRES, more iterations) step for retries.
@@ -420,6 +536,33 @@ class Solver:
             and h >= self.hmin
         ):
             self.k, self.t, self.h = k, t, h
+            if self._chunk is not None:
+                u1, tnew, hnew, kacc, attempts = self._chunk(
+                    u, t, h, self.tmax
+                )
+                kacc, attempts = int(kacc), int(attempts)
+                self.snes_failures += attempts - kacc
+                h = float(hnew)
+                if kacc > 0:
+                    consecutive_failures = 0
+                    k += kacc
+                    t = float(tnew)
+                    u = self.ops.groom(u1)
+                    if hasattr(self.ops, "refresh_G"):
+                        u = self.ops.refresh_G(u, t)
+                    self.u, self.k, self.t, self.h = u, k, t, h
+                    self.last_enorm = None
+                    self.CFL_check(u, t)
+                    h = self.h
+                    self.monitor(k, t, u)
+                    continue
+                # whole chunk made no progress (h collapsed or solver
+                # diverging even after in-chunk robust retries)
+                consecutive_failures += attempts
+                if consecutive_failures > n.max_snes_failures:
+                    self.diverged = True
+                    break
+                continue
             nblk = 1
             if self._multi is not None:
                 nblk = max(1, min(self.block_steps, self.maxsteps - k))

@@ -119,6 +119,9 @@ class NumericsOptions:
     precision: str = "float64"   # float64 (parity) | float32 (fast
                                  # mode; fused Pallas kernels on TPU 2D)
     use_pallas: bool = True      # allow fused kernels in f32 mode
+    device_loop: bool = False    # fuse the ADAPTIVE accept/reject loop
+                                 # on device (chunks between monitors;
+                                 # auto-disabled when noise/CFL active)
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
     monitor: bool = False
     unrecognized: list = field(default_factory=list)
@@ -225,6 +228,9 @@ def decode_numerics(tokens, petsc_tokens=()):
                 # lu/mumps etc.: our spectral preconditioner is the
                 # TPU-native stand-in for the direct factorization.
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
+        elif key == "device_loop":
+            val, i = take_value(i)
+            opts.device_loop = str(val) not in ("0", "false", "False")
         elif key == "precision":
             val, i = take_value(i)
             opts.precision = {

@@ -89,3 +89,36 @@ def test_precision_numerics_decoding():
     assert opts.precision == "float32"
     opts = decode_numerics(["-precision", "float64"])
     assert opts.precision == "float64"
+
+
+def test_device_fused_adaptive_loop(prob):
+    """The fused adaptive chunk (device accept/reject + in-body robust
+    retry) must match the host loop's trajectory quality."""
+    ps, grid, ops = prob
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    host = Solver(ops, NumericsOptions(), t0=0.0, dt=1.0, tmax=50.0,
+                  maxsteps=1000, rtol=1e-6, atol=0.01)
+    uh = np.asarray(host.solve(u0))
+    th = host.t
+    fused = Solver(ops, NumericsOptions(device_loop=True), t0=0.0,
+                   dt=1.0, tmax=50.0, maxsteps=1000, rtol=1e-6, atol=0.01)
+    monitor_calls = []
+    fused.add_monitor(lambda s, k, t, u: monitor_calls.append(k))
+    uf = np.asarray(fused.solve(u0))
+    assert fused.t >= 50.0 and not fused.diverged
+    # far fewer host round-trips than steps
+    assert len(monitor_calls) - 1 < fused.k
+    # both land on the exact manufactured solution's trajectory
+    ex_h = exact_state(ps, grid, th)
+    ex_f = exact_state(ps, grid, fused.t)
+    assert np.abs(uh - ex_h).max() < 5e-2
+    assert np.abs(uf - ex_f).max() < 5e-2
+
+
+def test_device_loop_disabled_when_noise_active():
+    ps, grid, ops = make_problem(
+        nx=32, extra_params=["variance_rate=1e-5"]
+    )
+    s = Solver(ops, NumericsOptions(device_loop=True), t0=0.0, dt=1.0,
+               tmax=10.0, maxsteps=5, rtol=1e-6, atol=0.01)
+    assert s._chunk is None  # noise needs the host path
