@@ -22,6 +22,7 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -48,7 +49,9 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    sys.path.insert(0, "tests")
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.join(here, "tests"))
     import __graft_entry__ as ge
     from ksfd_tpu import NumericsOptions
     from ksfd_tpu.solvers import make_multistep_fn
