@@ -122,3 +122,42 @@ def test_device_loop_disabled_when_noise_active():
     s = Solver(ops, NumericsOptions(device_loop=True), t0=0.0, dt=1.0,
                tmax=10.0, maxsteps=5, rtol=1e-6, atol=0.01)
     assert s._chunk is None  # noise needs the host path
+
+
+def test_history_and_print_monitors(prob, capsys):
+    from ksfd_tpu.solvers import history_monitor, print_monitor
+
+    ps, grid, ops = prob
+    s = Solver(ops, NumericsOptions(adapt_type="none"), t0=0.0, dt=1.0,
+               tmax=1e9, maxsteps=2, rtol=1e-6, atol=0.01)
+    s.add_monitor(print_monitor)
+    s.add_monitor(history_monitor)
+    s.solve(jnp.asarray(exact_state(ps, grid, 0.0)))
+    out = capsys.readouterr().out
+    assert "step   2" in out and "CFL=" in out
+    assert len(s.history) == 3  # k=0,1,2
+    assert s.history[-1]["t"] == pytest.approx(2.0)
+    assert s.history[-1]["u"].shape == grid.Vshape
+
+
+def test_driver_onestep(tmp_path):
+    import os, subprocess, sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    optfile = tmp_path / "opts"
+    optfile.write_text(
+        "dt=1\nmaxsteps=50\ntmax=1e6\nwidth=1\nnelements=16\ndim=1\n"
+        "sigma=0.02357\ns2=sigma**2/2\nNworms=0\nsrho0=0\nrho0=9000\n"
+        "ngroups=1\nnligands_1=1\nalpha_1=1500\nbeta_1=5.56e-4\n"
+        "s_1_1=0.01\ngamma_1_1=0.01\nD_1_1=1e-6\n"
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "ksfdsolver.py"),
+         "@" + str(optfile), "--onestep"],
+        capture_output=True, text=True,
+        env=dict(os.environ, KSFD_PLATFORM="cpu", PYTHONPATH=REPO),
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "step   1" in r.stdout
+    assert "step   2" not in r.stdout
