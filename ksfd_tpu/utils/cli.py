@@ -111,8 +111,11 @@ class NumericsOptions:
     ksp_max_it: int = 50
     ksp_rtol: float = 1e-8
     ksp_restart: int = 20
-    ksp_iters: int = 6            # sweeps / Krylov dim of fixed solvers
-                                  # (block pc converges in ~2-4 sweeps)
+    ksp_iters: int = 4            # sweeps / Krylov dim of fixed solvers
+                                  # (block pc: 4 sweeps match 16 to
+                                  # 1e-11 over chained 1024^2 steps;
+                                  # hard states escalate to the GMRES
+                                  # retry path automatically)
     pc_type: str = "block"       # block (per-mode mean-state
                                  # linearization inverse, default) |
                                  # spectral (per-field diagonal) | none
