@@ -24,7 +24,7 @@ from .linalg import (
     dense_solve_factory,
     gmres_solve,
 )
-from .gmres import gmres_fixed, richardson_solve
+from .gmres import gmres_fixed, gmres_restarted, richardson_solve
 from .steppers import get_tableau, wlte_norm
 
 logTS = logger("TS")
@@ -133,6 +133,11 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
                 )
             elif numerics.ksp_type == "gmres":
                 Yi = gmres_fixed(W, bi, M=Minv, iters=numerics.ksp_iters)
+            elif numerics.ksp_type == "gmres_restarted":
+                Yi = gmres_restarted(
+                    W, bi, M=Minv, iters=8,
+                    restarts=max(3, numerics.ksp_iters // 3),
+                )
             elif Minv is None:
                 # Richardson needs the preconditioner; without one the
                 # Krylov solver is the only sane choice.
@@ -217,11 +222,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     if numerics.ksp_type == "richardson":
         import dataclasses
 
-        nm = dataclasses.replace(
-            numerics,
-            ksp_type="gmres",
-            ksp_iters=max(24, 2 * numerics.ksp_iters),
-        )
+        nm = dataclasses.replace(numerics, ksp_type="gmres_restarted")
         step_robust, _ = make_step_fn(
             ops, nm, atol=atol, rtol=rtol, tableau=tableau
         )
@@ -473,9 +474,7 @@ class Solver:
             import dataclasses
 
             nm = dataclasses.replace(
-                self.numerics,
-                ksp_type="gmres",
-                ksp_iters=max(24, 2 * self.numerics.ksp_iters),
+                self.numerics, ksp_type="gmres_restarted"
             )
             self._fallback_fn, _ = make_step_fn(
                 self.ops, nm, atol=self.atol, rtol=self.rtol
