@@ -222,7 +222,13 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     if numerics.ksp_type == "richardson":
         import dataclasses
 
-        nm = dataclasses.replace(numerics, ksp_type="gmres_restarted")
+        # rolled-loop GMRES: small graph (the unrolled variants
+        # trigger multi-minute XLA:TPU compile scheduling), higher
+        # per-call cost — the right tradeoff for a rarely-taken retry
+        nm = dataclasses.replace(
+            numerics, ksp_type="gmres_scipy",
+            ksp_restart=12, ksp_max_it=4,
+        )
         step_robust, _ = make_step_fn(
             ops, nm, atol=atol, rtol=rtol, tableau=tableau
         )
@@ -474,7 +480,8 @@ class Solver:
             import dataclasses
 
             nm = dataclasses.replace(
-                self.numerics, ksp_type="gmres_restarted"
+                self.numerics, ksp_type="gmres_scipy",
+                ksp_restart=12, ksp_max_it=4,
             )
             self._fallback_fn, _ = make_step_fn(
                 self.ops, nm, atol=self.atol, rtol=self.rtol
