@@ -24,12 +24,12 @@ __all__ = ["gmres_fixed", "gmres_restarted", "richardson_solve"]
 def gmres_restarted(op, b, M=None, iters=8, restarts=3):
     """Restarted GMRES(iters) x restarts, statically unrolled.
 
-    The robust-retry solver: restarting keeps the unrolled graph small
-    (O(iters^2) scalar Givens/dot nodes per cycle instead of
-    O((iters*restarts)^2)) — a single m=24 unrolled cycle triggered
-    pathologically slow XLA:TPU scheduling, while 3x m=8 compiles
-    quickly and reaches comparable residuals on the stiff stage
-    systems.
+    Selectable via ksp_type='gmres_restarted'.  Restarting keeps each
+    unrolled cycle's graph small (O(iters^2) scalar Givens/dot nodes
+    instead of O((iters*restarts)^2)).  Note: on the TPU tunnel even
+    this form compiles slowly when embedded 4x per step; the solver's
+    automatic retry path uses the rolled-loop jax.scipy GMRES instead
+    (see Solver._get_fallback).
     """
     x = None
     for _ in range(int(restarts)):
