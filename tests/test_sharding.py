@@ -72,3 +72,25 @@ def test_distribute_preserves_values():
     u = jnp.asarray(exact_state(ps, grid, 0.0))
     us, mesh = distribute(u, grid)
     np.testing.assert_array_equal(np.asarray(us), np.asarray(u))
+
+
+def test_solver_loop_with_sharded_state():
+    """The full outer solve (monitors, grooming, adaptivity) works on
+    state distributed over the 8-device mesh."""
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.solvers import Solver
+
+    ps, grid, ops = make_problem(nx=64)
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    ref_solver = Solver(ops, NumericsOptions(adapt_type="none"),
+                        t0=0.0, dt=1.0, tmax=1e9, maxsteps=3,
+                        rtol=1e-6, atol=0.01)
+    u_ref = np.asarray(ref_solver.solve(u0))
+    us, mesh = distribute(u0, grid)
+    sh_solver = Solver(ops, NumericsOptions(adapt_type="none"),
+                       t0=0.0, dt=1.0, tmax=1e9, maxsteps=3,
+                       rtol=1e-6, atol=0.01)
+    u_sh = sh_solver.solve(us)
+    assert not u_sh.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(u_sh), u_ref,
+                               rtol=1e-9, atol=1e-9)
