@@ -179,3 +179,42 @@ def test_resume_continues_step_numbering(stored_run, tmp_path):
     assert os.path.exists(cp2 + "_5_s1r0.h5")
     assert os.path.exists(cp2 + "_6_s1r0.h5")
     assert not os.path.exists(cp2 + "_0_s1r0.h5")
+
+
+def test_gatherer_merges_multirank_files(tmp_path):
+    """Reference-style per-rank files (each owning an x-slab, with a
+    /ranges dataset) must gather and merge into one full series —
+    the tsmerge workflow for runs produced by the MPI reference
+    (SURVEY §2 TimeSeries protocol)."""
+    import h5py
+    from ksfd_tpu import Grid
+    from ksfd_tpu.io import Gatherer
+
+    grid = Grid(dim=1, nx=16, dof=2)
+    rng = np.random.default_rng(7)
+    full = {t: rng.standard_normal(grid.Vshape) for t in (0.0, 1.0)}
+    prefix = str(tmp_path / "mr")
+    # two rank files, each holding its half of the domain
+    for rank, (lo, hi) in enumerate(((0, 8), (8, 16))):
+        ts = TimeSeries(prefix, grid=grid, mode="w", size=2, rank=rank)
+        ts.try_to_set("ranges", np.asarray([[lo, hi]]))
+        for k, (t, v) in enumerate(full.items()):
+            data = np.zeros(grid.Vshape)
+            data[:, lo:hi] = v[:, lo:hi]
+            ts.store(data, t, k=k)
+        ts.close()
+    assert os.path.exists(prefix + "s2r0.h5")
+    assert os.path.exists(prefix + "s2r1.h5")
+    ranks = list(Gatherer(prefix))
+    assert [ts.ranges for ts in ranks] == [((0, 8),), ((8, 16),)]
+    # merge through the tool
+    out = str(tmp_path / "merged")
+    r = _run_tool([os.path.join(REPO, "tools/tsmerge.py"),
+                   prefix + "@", "-o", out])
+    assert r.returncode == 0, r.stderr + r.stdout
+    for ts in ranks:
+        ts.close()
+    merged = TimeSeries(out, mode="r")
+    for t, v in full.items():
+        np.testing.assert_allclose(merged.retrieve_by_time(t), v)
+    merged.close()

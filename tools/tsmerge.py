@@ -78,12 +78,19 @@ def main(argv=None):
                     out.try_to_set("/info/" + key, ts.info[key][()])
                 info_copied = True
             ranges = ts.ranges
+            full = tuple((0, int(n)) for n in ts.grid.nps)
             for t in ts.sorted_times():
                 if args.start is not None and t < args.start:
                     continue
                 if args.end is not None and t > args.end:
                     continue
-                data = ts.retrieve_by_time(t)
+                data = np.asarray(ts.retrieve_by_time(t))
+                if ranges != full and data.shape == ts.grid.Vshape:
+                    # full-shape store holding only the owned slab
+                    slc = (slice(None),) + tuple(
+                        slice(*r) for r in ranges
+                    )
+                    data = data[slc]
                 out.store_slice(ranges, data, t)
             ts.close()
     if out is not None:
