@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("--ksp", default=None,
                         help="richardson|gmres|dense|banded")
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--block", type=int, default=1,
+                        help="fuse this many fixed steps per device "
+                             "execution (block_steps)")
     parser.add_argument("--convergence", action="store_true",
                         help="run nx=32/64/128 at fixed t and report "
                              "the spatial convergence order (the "
@@ -59,6 +62,7 @@ def main(argv=None):
     solver = Solver(
         ops, numerics, t0=0.0, dt=args.dt, tmax=1e18,
         maxsteps=args.steps, rtol=1e-6, atol=0.01,
+        block_steps=args.block,
     )
     u0 = exact_state(ps, grid, 0.0)
     t0 = time.perf_counter()
