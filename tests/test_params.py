@@ -99,3 +99,16 @@ def test_decode_numerics_translates_petsc_block():
 def test_decode_numerics_adapt_none():
     opts = decode_numerics(["-ts_adapt_type", "none"])
     assert opts.adapt_type == "none"
+
+
+def test_decode_numerics_solver_selection():
+    opts = decode_numerics(["-ksp_type", "banded"])
+    assert opts.ksp_type == "banded"
+    opts = decode_numerics(["-ksp_type", "dense", "-ksp_iters", "9"])
+    assert opts.ksp_type == "dense" and opts.ksp_iters == 9
+    opts = decode_numerics(["-device_loop", "1", "-pc_type", "block"])
+    assert opts.device_loop is True and opts.pc_type == "block"
+    # PETSc preonly+lu keeps the default iterative stack, with a note
+    opts = decode_numerics(["-ksp_type", "preonly", "-pc_type", "lu"])
+    assert opts.ksp_type == "richardson"
+    assert any("preonly" in u for u in opts.unrecognized)
