@@ -5,9 +5,15 @@ Workload: the options84-class 2D problem (worm density + attractant +
 repellent ligand groups, periodic, degree-3 stencils) at nx=ny=1024,
 3 dofs = 3.1M DOF, float64 state.  One "update" = one full implicit
 Rosenbrock-W (ROS34PW2) step: 4 stages, Jacobian linearization,
-spectrally preconditioned matrix-free GMRES stage solves, embedded
-error estimate — the same work the reference does per PETSc TSStep
-with analytic-Jacobian assembly + MUMPS LU.
+spectrally block-preconditioned Richardson stage solves (matrix-free
+GMRES is the rejection fallback), embedded error estimate — the same
+work the reference does per PETSc TSStep with analytic-Jacobian
+assembly + MUMPS LU.
+
+Anti-dedupe: the axon TPU tunnel pipelines/dedupes repeated identical
+executions and reports absurd speeds (CLAUDE.md), so the timed call
+uses a PERTURBED initial state — different bytes from warmup — and we
+assert the two executions' outputs actually differ.
 
 Baseline derivation (BASELINE.md): the reference's only at-scale
 figure is the options84 cluster config — 16 MPI ranks x 8 threads,
@@ -78,10 +84,17 @@ def main(argv=None):
     uw.block_until_ready()
     enorm0 = float(enorm)
 
+    # timed call on a perturbed input so the tunnel cannot dedupe it
+    # against the warmup execution (see module docstring)
+    up = u * (1.0 + 1e-9) + 1e-9
+    up.block_until_ready()
     t0 = time.perf_counter()
-    u1, t1, enorm = multi(u, t, h, args.steps)
+    u1, t1, enorm = multi(up, t, h, args.steps)
     u1.block_until_ready()
     elapsed = time.perf_counter() - t0
+    assert not bool(jnp.array_equal(u1, uw)), (
+        "timed output identical to warmup output - dedupe suspected"
+    )
 
     step_time = elapsed / args.steps
     dof = grid.n_dofs
