@@ -55,21 +55,32 @@ class Parser(ArgumentParser):
     def convert_arg_line_to_args(self, arg_line):
         return shlex.split(arg_line, comments=True)
 
+    def _extract_subsystem_blocks(self, tokens):
+        """Single left-to-right scan pulling out '--<name> ... --' blocks.
+
+        Returns (remaining_tokens, {name: block_tokens}).  A block runs
+        from its introducer to the next bare '--' (or end of input);
+        repeated blocks for the same subsystem concatenate.
+        """
+        blocks = {name: [] for name in self.subsystems}
+        rest = []
+        stream = iter(tokens)
+        for tok in stream:
+            name = tok[2:] if tok.startswith("--") else None
+            if name not in blocks:
+                rest.append(tok)
+                continue
+            for inner in stream:
+                if inner == "--":
+                    break
+                blocks[name].append(inner)
+        return rest, blocks
+
     def parse_args(self, args=None, namespace=None):
         if args is None:
             args = sys.argv[1:]
         args = self._read_args_from_files(list(args))
-        sargs = [[] for _ in self.subsystems]
-        for s, subsystem in enumerate(self.subsystems):
-            flag = "--" + subsystem
-            while flag in args:
-                f = args.index(flag)
-                try:
-                    e = args.index("--", f + 1)
-                except ValueError:
-                    e = len(args)
-                sargs[s] += args[f + 1 : e]
-                args[f : e + 1] = []
+        args, blocks = self._extract_subsystem_blocks(args)
         # argparse cannot interleave positionals (parameters) with
         # optionals; group all name=value tokens at the end.  Options
         # and parameters are independent namespaces, so this preserves
@@ -81,8 +92,8 @@ class Parser(ArgumentParser):
             a for a in args if is_param(a)
         ]
         ns = super().parse_args(args, namespace=namespace)
-        for s, subsystem in enumerate(self.subsystems):
-            setattr(ns, subsystem, sargs[s])
+        for subsystem in self.subsystems:
+            setattr(ns, subsystem, blocks[subsystem])
         return ns
 
 
@@ -212,8 +223,8 @@ def decode_numerics(tokens, petsc_tokens=()):
         elif key == "ksp_type":
             val, i = take_value(i)
             if val in (
-                "richardson", "gmres", "gmres_scipy", "dense", "direct",
-                "banded",
+                "richardson", "gmres", "gmres_restarted", "gmres_scipy",
+                "dense", "direct", "banded",
             ):
                 opts.ksp_type = val
             elif val == "preonly":

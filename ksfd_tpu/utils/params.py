@@ -1,14 +1,23 @@
 """Parameter system: named, defaulted, sympy-valued parameters.
 
-The user-facing parameter language is identical to the reference's
-(KSFD/ksfdligand.py:14-254 and KSFD/ksfdargparse.py:11-55): parameters
-are ``name=value`` strings where ``value`` is a sympy expression that
-may reference other parameters and ``t`` (and, for spatially evaluated
-parameters, ``x``/``y``/``z``).  Booleans and plain numbers are coerced
+The user-facing parameter *language* is identical to the reference's
+(KSFD/ksfdligand.py:14-254, KSFD/ksfdargparse.py:11-55): parameters are
+``name=value`` strings where ``value`` is a sympy expression that may
+reference other parameters and ``t`` (and, for spatially evaluated
+parameters, ``x``/``y``/``z``); booleans and plain numbers are coerced
 to Python bool/int/float at decode time.
+
+The *implementation* is this project's own: a parameter is a ``Slot``
+(a read/write accessor pair, so the value may live anywhere — a Ligand
+field, a group attribute, or the list's private store), and a
+``ParameterList`` is a single ordered registry of ``(slot, default,
+help)`` records rather than parallel dictionaries.
 """
 
 import collections
+import dataclasses
+import re
+import typing
 
 import sympy as sy
 
@@ -24,7 +33,8 @@ __all__ = [
 
 
 #: The canonical table of (name, default, help).  Values mirror the
-#: reference defaults exactly (KSFD/ksfdargparse.py:11-55).
+#: reference defaults exactly (KSFD/ksfdargparse.py:11-55) — this table
+#: IS the parity surface, so the constants are necessarily the same.
 default_parameters = [
     ("degree", 3, "order of finite difference approximations"),
     ("dim", 1, "spatial dimensions"),
@@ -75,176 +85,207 @@ default_parameters = [
 
 
 def find_duplicates(items):
-    """Return the sorted list of duplicated entries in ``items``."""
-    sitems = sorted(items)
-    return [a for a, b in zip(sitems[1:], sitems[:-1]) if a == b]
+    """Sorted list of entries appearing more than once in ``items``."""
+    counts = collections.Counter(items)
+    return sorted(item for item, n in counts.items() if n > 1)
+
+
+_PARAM_RE = re.compile(r"(?s)(?P<key>[^=]*)=(?P<value>.*)")
+
+
+def _concretize(value):
+    """Collapse a sympified value to a native bool/int/float if it is one.
+
+    Symbolic expressions (and anything else) pass through unchanged.
+    """
+    if value is None:
+        return False
+    if isinstance(value, bool):
+        return value
+    for predicate, pytype in (
+        ("is_Boolean", bool),
+        ("is_Integer", int),
+        ("is_Float", float),
+    ):
+        if getattr(value, predicate, False):
+            return pytype(value)
+    return value
 
 
 class Parameter:
-    """A getter/setter pair, so a parameter can live anywhere.
+    """A read/write slot for one parameter value.
 
-    ``p()`` reads, ``p(v)``/``p.set(v)``/``p.val = v`` write.
+    The value may be stored anywhere; the slot is a pair of accessor
+    callables.  Calling conventions (kept for reference-API parity,
+    KSFD/ksfdligand.py:14-57): ``p()`` reads, ``p(v)`` writes then
+    reads; ``.get()``/``.set(v)`` and the ``.val`` property are
+    explicit spellings of the same.
     """
 
+    __slots__ = ("_read", "_write")
+
     def __init__(self, getter, setter):
-        self._get = getter
-        self._set = setter
+        self._read = getter
+        self._write = setter
+
+    @classmethod
+    def boxed(cls, value=None):
+        """A slot owning its own storage."""
+        cell = [value]
+
+        def read():
+            return cell[0]
+
+        def write(v):
+            cell[0] = v
+
+        return cls(read, write)
+
+    @classmethod
+    def of_attr(cls, obj, attr):
+        """A slot backed by ``obj.<attr>``."""
+
+        def read():
+            return getattr(obj, attr)
+
+        def write(v):
+            setattr(obj, attr, v)
+
+        return cls(read, write)
 
     def __call__(self, val=None):
         if val is not None:
-            self._set(val)
-        return self._get()
+            self._write(val)
+        return self._read()
 
     def get(self):
-        return self._get()
+        return self._read()
 
     def set(self, val):
-        self._set(val)
+        self._write(val)
 
-    @property
-    def val(self):
-        return self._get()
-
-    @val.setter
-    def val(self, val):
-        self._set(val)
+    val = property(get, set)
 
 
-def _coerce(v):
-    """Coerce a sympified value to bool/int/float when it is one."""
-    if v is None or isinstance(v, bool):
-        return bool(v)
-    if hasattr(v, "is_Boolean") and v.is_Boolean:
-        return bool(v)
-    if hasattr(v, "is_Integer") and v.is_Integer:
-        return int(v)
-    if hasattr(v, "is_Float") and v.is_Float:
-        return float(v)
-    return v
+@dataclasses.dataclass
+class _Entry:
+    """One registry record of a ParameterList."""
+
+    slot: Parameter
+    default: typing.Any = None
+    help: typing.Optional[str] = None
 
 
 class ParameterList:
-    """Ordered mapping of named parameters with defaults and help text.
+    """Ordered registry of named parameters with defaults and help text.
 
-    Accepts entries of form (key, default[, help]) for self-stored
-    values, or (key, Parameter, default, help) for externally stored
-    ones.  ``decode`` parses ``key=value`` command-line strings with
-    sympy values.
+    Construction/`add` accepts records shaped ``(key, default)``,
+    ``(key, default, help)`` (list-owned storage) or ``(key, Parameter,
+    default, help)`` (externally stored).  ``decode`` parses
+    ``key=value`` command-line strings with sympy values.
     """
 
     def __init__(self, parameters=()):
-        self.values = collections.OrderedDict()
-        self.ps = collections.OrderedDict()
-        self.defaults = collections.OrderedDict()
-        self.helps = collections.OrderedDict()
+        self._entries = collections.OrderedDict()
         self.add(parameters)
 
-    def keys(self):
-        return self.ps.keys()
-
+    # -- registration --------------------------------------------------
     def add(self, parameters):
-        for param in parameters:
-            if len(param) in (2, 3):
-                k, d = param[:2]
-                h = param[2] if len(param) == 3 else None
-                if k in self:
-                    p = self.ps[k]
+        for record in parameters:
+            record = tuple(record)
+            if len(record) == 4:
+                key, slot, default, helptext = record
+            elif len(record) in (2, 3):
+                key, default = record[:2]
+                helptext = record[2] if len(record) == 3 else None
+                existing = self._entries.get(key)
+                if existing is not None:
+                    slot = existing.slot  # keep storage, refresh metadata
                 else:
-                    p = self._make_storage(k)
-                    p(d)
-            elif len(param) == 4:
-                k, p, d, h = param
+                    slot = Parameter.boxed(default)
             else:
                 raise ValueError(
-                    "parameter element has length %d, 2, 3 or 4 required"
-                    % (len(param),)
+                    "parameter record has length %d; 2, 3 or 4 required"
+                    % len(record)
                 )
-            self.ps[k] = p
-            self.defaults[k] = d
-            self.helps[k] = h
-
-    def _make_storage(self, key):
-        def getter(vd=self.values, key=key):
-            return vd[key]
-
-        def setter(val, vd=self.values, key=key):
-            vd[key] = val
-
-        return Parameter(getter, setter)
+            self._entries[key] = _Entry(slot, default, helptext)
 
     def update(self, parameters):
-        if hasattr(parameters, "items") and callable(parameters.items):
-            parameters = parameters.items()
-        for k, v in parameters:
-            if k not in self:
-                self.add([(k, v)])
-            self[k] = v
+        """Set many values at once, registering unknown keys on the fly."""
+        pairs = (
+            parameters.items()
+            if hasattr(parameters, "items")
+            else parameters
+        )
+        for key, value in pairs:
+            self[key] = value
+
+    # -- mapping protocol ----------------------------------------------
+    def keys(self):
+        return self._entries.keys()
 
     def items(self):
-        for k, p in self.ps.items():
-            yield (k, p())
+        for key, entry in self._entries.items():
+            yield key, entry.slot.get()
 
     def __iter__(self):
         return self.items()
 
     def __len__(self):
-        return len(self.ps)
-
-    def __getitem__(self, key):
-        return self.ps[key]()
-
-    def __setitem__(self, key, value):
-        if key not in self:
-            self.values[key] = value
-            self.ps[key] = self._make_storage(key)
-            self.defaults.setdefault(key, None)
-            self.helps.setdefault(key, None)
-        return self.ps[key](value)
-
-    def __delitem__(self, key):
-        del self.ps[key]
-        self.values.pop(key, None)
-        self.defaults.pop(key, None)
-        self.helps.pop(key, None)
+        return len(self._entries)
 
     def __contains__(self, key):
-        return key in self.ps
+        return key in self._entries
+
+    def __getitem__(self, key):
+        return self._entries[key].slot.get()
+
+    def __setitem__(self, key, value):
+        entry = self._entries.get(key)
+        if entry is None:
+            self._entries[key] = _Entry(Parameter.boxed(value))
+        else:
+            entry.slot.set(value)
+
+    def __delitem__(self, key):
+        del self._entries[key]
 
     def get(self, key, default=None):
-        return self[key] if key in self else default
+        entry = self._entries.get(key)
+        return default if entry is None else entry.slot.get()
 
+    # -- the command-line parameter language ----------------------------
     def decode(self, params, allow_new=False):
-        """Decode a list of 'key=value' strings (sympy values).
+        """Decode ``key=value`` strings (sympy values).
 
-        Duplicated keys raise; unknown keys raise KeyError unless
-        ``allow_new``.
+        Duplicated keys raise KSFDException; unknown keys raise KeyError
+        unless ``allow_new``.
         """
-        keys = [arg.split("=", maxsplit=1)[0] for arg in params]
-        dups = find_duplicates(keys)
+        parsed = []
+        for arg in params:
+            m = _PARAM_RE.fullmatch(arg)
+            if m is None:
+                raise KSFDException(
+                    "parameter argument %r is not of form key=value" % (arg,)
+                )
+            parsed.append((m["key"], m["value"]))
+        dups = find_duplicates(key for key, _ in parsed)
         if dups:
             raise KSFDException("duplicated parameters: " + ", ".join(dups))
-        for arg in params:
-            if "=" not in arg:
-                raise KSFDException(
-                    "parameter argument {a!r} is not of form key=value".format(a=arg)
-                )
-            k, val = arg.split("=", maxsplit=1)
-            v = _coerce(safe_sympify(val))
-            if k in self.ps:
-                self.ps[k](v)
-            elif allow_new:
-                self[k] = v
-            else:
-                raise KeyError(k)
+        for key, text in parsed:
+            if key not in self._entries and not allow_new:
+                raise KeyError(key)
+            self[key] = _concretize(safe_sympify(text))
 
+    # -- introspection ---------------------------------------------------
     def params(self):
         """(key, Parameter, default, help) tuples for all parameters."""
         return [
-            (k, self.ps[k], self.defaults.get(k), self.helps.get(k))
-            for k in self.ps.keys()
+            (key, e.slot, e.default, e.help)
+            for key, e in self._entries.items()
         ]
 
     def __str__(self):
         return "".join(
-            "{key}={val}\n".format(key=k, val=p()) for k, p in self.ps.items()
+            "%s=%s\n" % (key, value) for key, value in self.items()
         )

@@ -21,27 +21,31 @@ from .exceptions import KSFDException
 __all__ = ["safe_sympify", "jaxify", "free_parameter_names"]
 
 
+#: Strings with non-expression meanings in the parameter language.
+_LITERALS = {"": None, "True": True, "False": False}
+
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+
+
 def safe_sympify(exp):
     """sympify() with a clear error on Python reserved keywords.
 
-    Mirrors the semantics of the reference implementation
-    (KSFD/ksfdsym.py:55-79): '' -> None, 'False'/'True' -> bool, any
-    string containing a Python keyword raises.
+    Same user-facing semantics as the reference (KSFD/ksfdsym.py:55-79;
+    independent implementation): '' -> None, 'False'/'True' -> bool,
+    any string containing a Python keyword raises KSFDException
+    (sympy would otherwise eval it as Python with confusing results).
     """
-    if isinstance(exp, str) and exp == "":
-        exp = None
-    elif isinstance(exp, str) and exp == "False":
-        exp = False
-    elif isinstance(exp, str) and exp == "True":
-        exp = True
-    elif isinstance(exp, str):
-        for word in re.finditer(r"\b\w+\b", exp):
-            if word.group() in keyword.kwlist:
-                raise KSFDException(
-                    "expression contains Python keyword {kw!r}: {exp!r}".format(
-                        kw=word.group(), exp=exp
-                    )
-                )
+    if isinstance(exp, str):
+        if exp in _LITERALS:
+            return sy.sympify(_LITERALS[exp])
+        reserved = sorted(
+            {w for w in _WORD_RE.findall(exp) if keyword.iskeyword(w)}
+        )
+        if reserved:
+            raise KSFDException(
+                "expression contains Python keyword %r: %r"
+                % (reserved[0], exp)
+            )
     return sy.sympify(exp)
 
 

@@ -127,3 +127,40 @@ def test_ligand_group_collect():
     # untouched parameters keep their defaults
     assert all(l.D == 1.0 and l.weight == 1.0 for l in g.ligands)
     assert all(l.alpha == 1500.0 for l in g.ligands)
+
+
+def test_multi_ligand_group():
+    """A group with nligands_g > 1 keeps a consistent count and V().
+
+    Regression: the count attribute used to be clobbered back to the
+    default 1, so V() rejected the correct number of concentrations.
+    """
+    clargs = make_clargs(
+        params=["ngroups=1", "nligands_1=2", "s_1_2=0.02", "weight_1_2=0.5"]
+    )
+    groups = LigandGroups(clargs)
+    g = groups.groups[0]
+    assert g.nligands == 2 and groups.nligands() == 2
+    assert list(groups.names()) == ["U_1_1", "U_1_2"]
+    U1, U2 = sy.symbols("U1 U2")
+    V = groups.V([U1, U2])
+    assert sy.Symbol("U1") in V.free_symbols
+    assert sy.Symbol("U2") in V.free_symbols
+    # and the full SolutionParameters path resolves the per-ligand params
+    ps = SolutionParameters(clargs)
+    assert ps.nligands == 2
+    ligs = list(ps.groups.ligands())
+    assert float(ligs[1].s) == 0.02 and float(ligs[1].weight) == 0.5
+
+
+def test_nligands_assignment_resizes():
+    from ksfd_tpu import LigandGroup
+
+    g = LigandGroup(groupnum=2, nligands=1)
+    g.alpha = 99.0
+    g.nligands = 3
+    assert len(g.ligands) == 3
+    assert [l.name() for l in g.ligands] == ["U_2_1", "U_2_2", "U_2_3"]
+    assert all(l.alpha == 99.0 for l in g.ligands)
+    g.nligands = 2
+    assert len(g.ligands) == 2
