@@ -24,6 +24,7 @@ __all__ = [
     "make_save_monitor",
     "make_checkpoint_monitor",
     "write_info",
+    "snapshot_block",
 ]
 
 
@@ -37,6 +38,27 @@ def picklenp(obj):
 
 def pickleunp(arr):
     return pickle.loads(np.asarray(arr).tobytes())
+
+
+def snapshot_block(u, ranges):
+    """The block of state ``u`` that a TimeSeries expects, as numpy.
+
+    ranges None -> the full array.  For a slab series, extract the
+    block — from local shards only when ``u`` is a multi-process
+    global array (no cross-process gather), by plain slicing otherwise.
+    """
+    if ranges is None:
+        return np.asarray(u)
+    try:
+        fully_addressable = u.is_fully_addressable
+    except AttributeError:
+        fully_addressable = True
+    if not fully_addressable:
+        from ..parallel.distributed import local_values
+
+        return local_values(u, ranges)
+    slc = (slice(None),) + tuple(slice(lo, hi) for lo, hi in ranges)
+    return np.asarray(u[slc])
 
 
 def write_info(tseries, clargs=None, ps=None, sources=None):
@@ -59,7 +81,7 @@ def make_save_monitor(tseries):
     def save_monitor(solver, k, t, u):
         if not tseries.tsFile:
             tseries.reopen()
-        tseries.store(np.asarray(u), t, k=k)
+        tseries.store(snapshot_block(u, tseries.ranges), t, k=k)
         tseries.save_solver_state(
             t=t,
             dt=solver.h,
@@ -76,12 +98,14 @@ def make_save_monitor(tseries):
 
 
 def make_checkpoint_monitor(prefix, grid, clargs=None, ps=None, sources=None,
-                            retries=0, retry_interval=60):
+                            retries=0, retry_interval=60,
+                            size=1, rank=0, ranges=None):
     """Monitor writing a standalone one-snapshot TimeSeries per step.
 
     Checkpoint k is named '<prefix>_<k>_'.  If ``prefix`` ends with
     '.zip' each checkpoint file is appended to a per-process zip
-    archive and removed (KSFD/ksfdts.py:370-452).
+    archive and removed (KSFD/ksfdts.py:370-452).  In a multi-process
+    run pass size/rank/ranges so each process archives its own slab.
     """
     zipit = prefix.endswith(".zip")
     realpfx = prefix[:-4] if zipit else prefix
@@ -91,17 +115,18 @@ def make_checkpoint_monitor(prefix, grid, clargs=None, ps=None, sources=None,
         cpf = TimeSeries(
             cpname, grid=grid, mode="w",
             retries=retries, retry_interval=retry_interval,
+            size=size, rank=rank, ranges=ranges,
         )
         write_info(cpf, clargs=clargs, ps=ps, sources=sources)
         cpf.save_solver_state(
             t=t, dt=solver.h, lastvart=solver.lastvart,
             rng_key=solver.rng_key, k=k,
         )
-        cpf.store(np.asarray(u), t, k=k)
+        cpf.store(snapshot_block(u, ranges), t, k=k)
         cpfname = cpf.filename
         cpf.close()
         if zipit:
-            zfname = realpfx + "s1r0.zip"
+            zfname = "{p}s{s}r{r}.zip".format(p=realpfx, s=size, r=rank)
             zfmode = "w" if k == 0 else "a"
             try:
                 zf = zipfile.ZipFile(

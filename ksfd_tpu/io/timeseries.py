@@ -69,6 +69,7 @@ class TimeSeries:
         retries=0,
         retry_interval=60,
         mpiok=False,
+        ranges=None,
     ):
         """Open or create a time series.
 
@@ -78,11 +79,19 @@ class TimeSeries:
         retries/retry_interval: open-retry loop for flaky filesystems
             (reference: KSFD/ksfdtimeseries.py:405-464).
         size/rank/mpiok: accepted for filename-protocol compatibility.
+        ranges: ((lo, hi), ...) per spatial axis — create a SLAB file
+            holding only that block of the global grid (the analog of
+            the reference's per-rank files, KSFD/ksfdtimeseries.py:
+            188-243).  Snapshots then have local shape; '/ranges' is
+            written so Gatherer/tsmerge can reassemble the global
+            series.  Pass size=<nprocs> rank=<this process>.
         """
         self.basename = basename
         self._size = size
         self._rank = rank
         self._mode = mode
+        self.ranges = tuple(tuple(int(x) for x in r) for r in ranges) \
+            if ranges is not None else None
         self.retries = retries
         self.retry_interval = retry_interval
         self.filename = self._get_filename(basename, size, rank, mode)
@@ -110,7 +119,21 @@ class TimeSeries:
                 self.grid_save()
         else:
             self.grid_load()
+        if self.ranges is not None and self.mode != "r":
+            self.try_to_set("ranges", np.asarray(self.ranges, dtype=np.int64))
+        elif self.ranges is None and "ranges" in self.tsf:
+            self.ranges = tuple(
+                tuple(int(x) for x in r)
+                for r in np.asarray(self.tsf["ranges"][()])
+            )
         self.tsf.flush()
+
+    @property
+    def local_shape(self):
+        """Shape of one stored snapshot: the slab block, or grid.Vshape."""
+        if self.ranges is None:
+            return self.grid.Vshape
+        return (self.grid.dof,) + tuple(hi - lo for lo, hi in self.ranges)
 
     # -- filename protocol ---------------------------------------------
     def _get_filename(self, basename, size, rank, mode):
@@ -307,7 +330,7 @@ class TimeSeries:
 
     # -- snapshots ----------------------------------------------------------
     def store(self, data, t, k=None):
-        vals = np.asarray(data).reshape(self.grid.Vshape)
+        vals = np.asarray(data).reshape(self.local_shape)
         if k is None:
             k = self.lastk + 1
         self.lastk = k
@@ -318,7 +341,7 @@ class TimeSeries:
             dset = self.tsf[key]
         else:
             dset = self.tsf.create_dataset(
-                key, self.grid.Vshape, dtype=vals.dtype
+                key, self.local_shape, dtype=vals.dtype
             )
         dset[...] = vals
         dset.attrs["k"] = k
@@ -335,9 +358,11 @@ class TimeSeries:
         vals = np.asarray(data).reshape(shape)
         na, nb, ta, tb = self.find_time(t)
         n, tn = (na, ta) if abs(t - ta) <= abs(tb - t) else (nb, tb)
-        is_new = (not (t == 0.0 and tn == 0.0)) and (
-            self.sts.size <= n
-            or abs(t - tn) / max(abs(t), abs(tn), 1e-300) > tol
+        # A slice starts a new snapshot iff the series is empty or no
+        # stored time matches within tol.  (n is a snapshot NUMBER, not
+        # a position — never compare it against the count.)
+        is_new = self.sts.size == 0 or (
+            abs(t - tn) / max(abs(t), abs(tn), 1e-300) > tol
         )
         if is_new:
             k = self.lastk + 1

@@ -135,6 +135,11 @@ def decode_sources(sargs, ps, grid):
 
 def main(*args):
     args = list(args) if args else sys.argv
+    # Multi-process (multi-host) runs — the mpiexec analog — must join
+    # the jax.distributed runtime before any backend use.
+    from ksfd_tpu.parallel import maybe_init_distributed
+
+    maybe_init_distributed()
     clargs = parse_commandline(args[1:])
     catch_signals()
     if clargs.noperiodic:
@@ -173,11 +178,30 @@ def main(*args):
         u0, t, extras = initial_values(clargs, grid, ps)
         ops = PDEOperators(ps, grid, sources=sources,
                            flux_form=clargs.flux_form)
+    # Shard the state over all devices (all hosts' devices in a
+    # multi-process run); XLA inserts the halo collectives.  The
+    # spatial decomposition is the framework's one parallelism
+    # strategy (SURVEY §2), the DMDA replacement.
+    import jax
+
+    nprocs = jax.process_count()
+    rank = jax.process_index()
+    slab = None
+    if len(jax.devices()) > 1:
+        from ksfd_tpu.parallel import (
+            grid_mesh, state_sharding, process_box, global_from_local,
+        )
+
+        mesh = grid_mesh(grid)
+        if nprocs > 1:
+            slab = process_box(grid, state_sharding(mesh))
+        u0 = global_from_local(np.asarray(u0), grid, mesh)
     if clargs.save:
         tseries = TimeSeries(
             clargs.save, grid=grid, mode="w",
             retries=clargs.series_retries,
             retry_interval=clargs.series_retry_interval,
+            size=nprocs, rank=rank, ranges=slab,
         )
         write_info(tseries, clargs=clargs, ps=ps, sources=sources)
         tseries.try_to_set("/info/dt", float(ps.params0["dt"]))
@@ -205,7 +229,8 @@ def main(*args):
         ),
         k0=int(extras.get("k", 0)),
     )
-    solver.add_monitor(print_monitor)
+    if rank == 0:  # reference printMonitor is rank-0 (ksfdts.py:337-353)
+        solver.add_monitor(print_monitor)
     closer = None
     if tseries is not None:
         save_monitor, closer = make_save_monitor(tseries)
@@ -216,6 +241,7 @@ def main(*args):
                 clargs.check, grid, clargs=clargs, ps=ps, sources=sources,
                 retries=clargs.series_retries,
                 retry_interval=clargs.series_retry_interval,
+                size=nprocs, rank=rank, ranges=slab,
             )
         )
     status = 0
