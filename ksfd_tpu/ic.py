@@ -58,8 +58,13 @@ def start_values(clargs, grid, ps):
         if v is not None and v is not False and v != "":
             u[dof + 1] = np.asarray(SpatialExpression(ps, grid, v)(t=ps.t0))
         else:
-            # local steady state U = rho*s/gamma (ksfdsolver2.py:637)
-            u[dof + 1] = u[0] * float(lig.s / lig.gamma)
+            # local steady state U = rho*s/gamma (ksfdsolver2.py:637).
+            # s/gamma may be expression-valued parameters; use the
+            # DAG-resolved t0 values rather than the raw attributes.
+            suffix = lig.name()[1:]  # "_<g>_<l>"
+            sval = values0.get("s" + suffix, lig.s)
+            gval = values0.get("gamma" + suffix, lig.gamma)
+            u[dof + 1] = u[0] * (float(sval) / float(gval))
     return u, float(ps.t0)
 
 

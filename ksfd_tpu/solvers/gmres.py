@@ -64,7 +64,19 @@ def richardson_solve(op, b, M, iters=12, x0=None):
 
 
 def gmres_fixed(op, b, M=None, iters=8, x0=None):
-    """Unrolled GMRES(iters).  op/M: linear callables on b-shaped arrays."""
+    """Unrolled GMRES(iters).  op/M: linear callables on b-shaped arrays.
+
+    Breakdown contract: the safe() guards below turn a Krylov/Givens
+    breakdown (hlast == 0 or a singular R) into a FINITE, possibly
+    wrong, answer instead of NaN.  Benign breakdown (the space closed
+    because the residual is already zero) still yields the exact
+    solution; a genuine singular-operator breakdown leaves a large
+    residual.  This is deliberate: the caller judges solve quality via
+    the embedded step-error estimate and rejects the step (the same
+    division of labor the reference uses, leaving linear-solve failure
+    to TS rollback — SURVEY §5.3).  Covered by
+    tests/test_solver.py::test_gmres_breakdown_finite_and_judged.
+    """
     if M is None:
         M = lambda v: v
     shape = b.shape

@@ -235,14 +235,16 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     n = numerics
     expo = -1.0 / (tab.order + 1)
 
-    def chunk(u, t, h, tmax):
+    def chunk(u, t, h, tmax, max_accepts):
         t = jnp.asarray(t, dtype=jnp.result_type(float))
         h = jnp.asarray(h, dtype=t.dtype)
+        max_accepts = jnp.asarray(max_accepts, dtype=jnp.int32)
 
         def cond(c):
             u, t, h, k, fails, attempts = c
             return (
                 (attempts < max_attempts)
+                & (k < max_accepts)
                 & (t <= tmax)
                 & (h >= n.dt_min)
                 & (fails <= n.max_snes_failures)
@@ -544,10 +546,16 @@ class Solver:
             self.k, self.t, self.h = k, t, h
             if self._chunk is not None:
                 u1, tnew, hnew, kacc, attempts = self._chunk(
-                    u, t, h, self.tmax
+                    u, t, h, self.tmax, self.maxsteps - k
                 )
                 kacc, attempts = int(kacc), int(attempts)
                 self.snes_failures += attempts - kacc
+                if n.monitor:
+                    print(
+                        "  TSAdapt chunk: %d accepted / %d attempts, "
+                        "h %.3g -> %.3g" % (kacc, attempts, h, float(hnew)),
+                        flush=True,
+                    )
                 h = float(hnew)
                 if kacc > 0:
                     consecutive_failures = 0
@@ -605,7 +613,16 @@ class Solver:
                 if consecutive_failures > n.max_snes_failures:
                     self.diverged = True
                     break
-                h = self._new_h_reject(h, enorm, finite)
+                hnew = self._new_h_reject(h, enorm, finite)
+                if n.monitor:  # -ts_adapt_monitor analog
+                    print(
+                        "  TSAdapt %s step %d REJECTED t=%.6g enorm=%.3g "
+                        "h %.3g -> %.3g" % (
+                            n.adapt_type, k, t, enorm, h, hnew,
+                        ),
+                        flush=True,
+                    )
+                h = hnew
                 continue
             consecutive_failures = 0
             if self._fb_mode:
@@ -616,8 +633,23 @@ class Solver:
             t = t + nblk * h
             self.last_enorm = enorm
             u = u1
+            hprev = h
             if adapt and finite:
                 h = self._new_h_accept(h, enorm)
+            elif not adapt:
+                # fixed-dt semantics: a rejection retry may have shrunk
+                # h; restore the nominal dt after a successful step so
+                # an adapt_type=none run doesn't silently become a
+                # smaller-dt run.
+                h = min(max(self.dt0, n.dt_min), n.dt_max)
+            if n.monitor:  # -ts_adapt_monitor analog
+                print(
+                    "  TSAdapt %s step %d accepted t=%.6g enorm=%.3g "
+                    "h %.3g -> %.3g" % (
+                        n.adapt_type, k, t, enorm, hprev, h,
+                    ),
+                    flush=True,
+                )
             dtv = t - self.lastvart
             if self.is_noise_time(t, self.lastvart):
                 u = self.add_variance(u, dtv, t)

@@ -1,0 +1,77 @@
+"""Automated end-to-end CLI gates for the hard adaptive workloads.
+
+The options92-class eigenmode run (examples/eigenmode1d) is the
+workload that exposed the two hardest solver bugs of round 1: the
+block preconditioner's rho-row diffusivity bound and the GMRES
+fallback escalation.  This gate drives it (shortened to tmax=2e4)
+through the REAL CLI and asserts the physical signature, so a
+regression in either path turns red in CI instead of waiting for a
+manual run.  Reference workload: /root/reference/options92:1-18.
+"""
+
+import os
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(argv, timeout=600):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["KSFD_PLATFORM"] = "cpu"
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "ksfdsolver.py")] + argv,
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def _count_peaks(rho):
+    above = rho > rho.mean()
+    edges = np.diff(np.r_[above, above[0]].astype(int))
+    return int((edges == 1).sum())
+
+
+@pytest.mark.slow
+def test_options92_adaptive_gate(tmp_path):
+    """Shortened eigenmode1d: exponential growth -> saturation -> h ramp.
+
+    Expected signature (verified against the full options92 run):
+    - completes within maxsteps with h accelerating to dt_max=1e4,
+    - final pattern has exactly 4 peaks (k0=4 eigenmode),
+    - rho spans [~320, ~25300] (capped by the tophat potential).
+    """
+    optfile = str(tmp_path / "options")
+    src = open(os.path.join(REPO, "examples", "eigenmode1d")).read()
+    src = "\n".join(
+        ln for ln in src.splitlines() if not ln.startswith("tmax=")
+    ) + "\ntmax=20000\n"
+    with open(optfile, "w") as f:
+        f.write(src)
+    save = str(tmp_path / "gate")
+    res = _run_cli(["@" + optfile, "--save=" + save])
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "solve failures" in res.stdout
+
+    with h5py.File(save + "s1r0.h5", "r") as f:
+        ks = sorted(int(k[4:]) for k in f if k.startswith("data"))
+        # the run must actually adapt: O(200) steps, not thousands
+        assert 100 <= ks[-1] <= 500, ks[-1]
+        last = f["data%d" % ks[-1]]
+        tfinal = float(last.attrs["t"])
+        assert tfinal >= 20000.0
+        u = np.asarray(last)
+        rho = u[0]
+        # step size accelerated to dt_max: the final step crossed tmax
+        # by a margin only h ~ 1e4 can produce
+        prev = f["data%d" % ks[-2]]
+        assert tfinal - float(prev.attrs["t"]) > 2000.0
+        assert _count_peaks(rho) == 4
+        assert 200.0 < rho.min() < 600.0
+        assert 20000.0 < rho.max() < 28000.0
+        # ligand fields saturate near s/gamma * rho scale, all positive
+        assert float(u[1:].min()) > 0.0

@@ -134,3 +134,32 @@ def test_reject_and_rollback(manufactured32):
     solver.solve(jnp.asarray(exact_state(ps, grid, 0.0)))
     assert solver.snes_failures > 0
     assert solver.h < 5e4
+
+
+def test_gmres_breakdown_finite_and_judged():
+    """Breakdown yields finite values; solve quality is judged upstream.
+
+    gmres_fixed deliberately converts Krylov/Givens breakdown into a
+    finite answer (see its docstring): benign breakdown (residual hit
+    zero early) still returns the exact solution, and a singular
+    operator leaves a large residual for the step-error control to
+    reject — never NaN.
+    """
+    import jax.numpy as jnp
+
+    from ksfd_tpu.solvers.gmres import gmres_fixed
+
+    # benign breakdown: identity converges in 1 iter; the remaining 5
+    # iterations divide by guarded zeros and must not corrupt x
+    b = jnp.asarray(np.linspace(1.0, 2.0, 8))
+    x = gmres_fixed(lambda v: v, b, iters=6)
+    assert np.allclose(np.asarray(x), np.asarray(b), atol=1e-12)
+
+    # genuine breakdown: singular projection operator, b not in range
+    mask = jnp.asarray([1.0] * 4 + [0.0] * 4)
+    op = lambda v: mask * v
+    bb = jnp.ones(8)
+    xx = gmres_fixed(op, bb, iters=6)
+    assert np.all(np.isfinite(np.asarray(xx)))
+    res = float(jnp.linalg.norm(bb - op(xx)))
+    assert res > 0.5  # visibly unsolved -> embedded error rejects the step

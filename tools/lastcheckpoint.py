@@ -18,19 +18,35 @@ import sys
 
 
 def last_checkpoint(prefix):
-    """Checkpoint k of --check=<prefix> lives at '<prefix>_<k>_...'. """
+    """Checkpoint k of --check=<prefix> lives at '<prefix>_<k>_...'.
+
+    Zip-mode runs (--check=<prefix>.zip) archive every checkpoint file
+    into '<prefix>s<size>r<rank>.zip'; those are scanned by member
+    name.
+    """
     pat = re.compile(
-        re.escape(os.path.basename(prefix)) + r"_(\d+)_s\d+r\d+\.(h5|zip)$"
+        re.escape(os.path.basename(prefix)) + r"_(\d+)_s\d+r\d+\.h5$"
     )
     best = None
-    for f in glob.glob(prefix + "_*_s*r*.h5") + glob.glob(
-        prefix + "_*_s*r*.zip"
-    ):
+    for f in glob.glob(prefix + "_*_s*r*.h5"):
         m = pat.fullmatch(os.path.basename(f))
         if m:
             k = int(m.group(1))
             if best is None or k > best:
                 best = k
+    import zipfile
+
+    for zf in glob.glob(prefix + "s*r*.zip"):
+        try:
+            names = zipfile.ZipFile(zf).namelist()
+        except (OSError, zipfile.BadZipFile):
+            continue
+        for name in names:
+            m = pat.fullmatch(os.path.basename(name))
+            if m:
+                k = int(m.group(1))
+                if best is None or k > best:
+                    best = k
     if best is None:
         return None
     return prefix + "_" + str(best) + "_"
