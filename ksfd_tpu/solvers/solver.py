@@ -25,7 +25,7 @@ from .linalg import (
     gmres_solve,
 )
 from .gmres import gmres_fixed, gmres_restarted, richardson_solve
-from .steppers import get_tableau, wlte_norm
+from .steppers import DIRKTableau, get_tableau, wlte_norm
 
 logTS = logger("TS")
 
@@ -69,6 +69,8 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
         if pallas_available(ops.grid, ops):
             pallas_rhs, pallas_jvp = make_pallas_rhs(ops)
 
+    is_dirk = isinstance(tab, DIRKTableau)
+
     def step(u, t, h):
         if fast32:
             u = u.astype(jnp.float32)
@@ -76,18 +78,21 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
             t = jnp.asarray(t, dtype=jnp.float32)
         u = ops.groom(u)
         shift = 1.0 / (h * tab.gamma)
-        # J = df/du at (t, u0), held for the whole step (W-method).
+        # J = df/du at (t, u0), held for the whole step (W-method /
+        # modified Newton).
         if pallas_rhs is not None:
             f0 = pallas_rhs(u, t)
             jvp_fn = lambda v: pallas_jvp(u, v, t)
             stage_rhs = pallas_rhs
         else:
             f0, jvp_fn = jax.linearize(lambda uu: ops.rhs(uu, t), u)
-            stage_rhs = None
+            stage_rhs = ops.rhs
 
         if use_dense:
             lu_piv = dense_prepare(u, t, shift)
+            W = Minv = None
         else:
+            lu_piv = None
             W = lambda v: shift * v - jvp_fn(v)
             if block_pc:
                 nf = ops.nligands + 1
@@ -105,25 +110,12 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
             else:
                 Minv = None
 
-        Ys = []
-        for i in range(tab.stages):
-            Ui = u
-            for j in range(i):
-                if tab.a[i][j]:
-                    Ui = Ui + tab.a[i][j] * Ys[j]
-            if i == 0 and tab.alpha[0] == 0.0:
-                bi = f0
-            elif stage_rhs is not None:
-                bi = stage_rhs(Ui, t + tab.alpha[i] * h)
-            else:
-                bi = ops.rhs(Ui, t + tab.alpha[i] * h)
-            for j in range(i):
-                if tab.c[i][j]:
-                    bi = bi + (tab.c[i][j] / h) * Ys[j]
+        def solve(bi):
+            """One stage solve: y = W^{-1} bi, W = shift*I - J."""
             if use_dense:
-                Yi = dense_solve(lu_piv, bi)
-            elif numerics.ksp_type == "gmres_scipy":
-                Yi = gmres_solve(
+                return dense_solve(lu_piv, bi)
+            if numerics.ksp_type == "gmres_scipy":
+                return gmres_solve(
                     W,
                     bi,
                     M=Minv,
@@ -131,27 +123,67 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
                     restart=numerics.ksp_restart,
                     maxiter=numerics.ksp_max_it,
                 )
-            elif numerics.ksp_type == "gmres":
-                Yi = gmres_fixed(W, bi, M=Minv, iters=numerics.ksp_iters)
-            elif numerics.ksp_type == "gmres_restarted":
-                Yi = gmres_restarted(
+            if numerics.ksp_type == "gmres":
+                return gmres_fixed(W, bi, M=Minv, iters=numerics.ksp_iters)
+            if numerics.ksp_type == "gmres_restarted":
+                return gmres_restarted(
                     W, bi, M=Minv, iters=8,
                     restarts=max(3, numerics.ksp_iters // 3),
                 )
-            elif Minv is None:
+            if Minv is None:
                 # Richardson needs the preconditioner; without one the
                 # Krylov solver is the only sane choice.
-                Yi = gmres_fixed(W, bi, M=None, iters=numerics.ksp_iters)
-            else:  # richardson (default)
-                Yi = richardson_solve(
-                    W, bi, M=Minv, iters=numerics.ksp_iters
-                )
-            Ys.append(Yi)
-        u1 = u
-        uhat = u
-        for j in range(tab.stages):
-            u1 = u1 + tab.m[j] * Ys[j]
-            uhat = uhat + tab.m2[j] * Ys[j]
+                return gmres_fixed(W, bi, M=None, iters=numerics.ksp_iters)
+            # richardson (default)
+            return richardson_solve(W, bi, M=Minv, iters=numerics.ksp_iters)
+
+        if is_dirk:
+            # ESDIRK (ARKIMEX implicit part): stage i solves
+            #   U_i = u0 + h*sum_{j<i} A_ij f_j + h*gamma f(U_i)
+            # by snes_iters modified-Newton iterations with the held J:
+            #   (I - h*gamma*J) d = -(U - h*gamma*f(U) - r)
+            # i.e. d = -shift * W^{-1}(residual), since
+            # I - h*gamma*J = h*gamma*W.
+            newton_iters = max(1, int(numerics.snes_iters))
+            fs = [f0]
+            for i in range(1, tab.stages):
+                r = u
+                for j in range(i):
+                    if tab.A[i][j]:
+                        r = r + (h * tab.A[i][j]) * fs[j]
+                ti = t + tab.c[i] * h
+                Ui = r  # predictor: neglect the implicit increment
+                fUi = stage_rhs(Ui, ti)
+                for _ in range(newton_iters):
+                    res = Ui - (h * tab.gamma) * fUi - r
+                    Ui = Ui - shift * solve(res)
+                    fUi = stage_rhs(Ui, ti)
+                fs.append(fUi)
+            u1 = u
+            uhat = u
+            for j in range(tab.stages):
+                u1 = u1 + (h * tab.b[j]) * fs[j]
+                uhat = uhat + (h * tab.bhat[j]) * fs[j]
+        else:
+            Ys = []
+            for i in range(tab.stages):
+                Ui = u
+                for j in range(i):
+                    if tab.a[i][j]:
+                        Ui = Ui + tab.a[i][j] * Ys[j]
+                if i == 0 and tab.alpha[0] == 0.0:
+                    bi = f0
+                else:
+                    bi = stage_rhs(Ui, t + tab.alpha[i] * h)
+                for j in range(i):
+                    if tab.c[i][j]:
+                        bi = bi + (tab.c[i][j] / h) * Ys[j]
+                Ys.append(solve(bi))
+            u1 = u
+            uhat = u
+            for j in range(tab.stages):
+                u1 = u1 + tab.m[j] * Ys[j]
+                uhat = uhat + tab.m2[j] * Ys[j]
         enorm = wlte_norm(u1, uhat, atol, rtol)
         return u1, enorm
 
@@ -356,6 +388,12 @@ class Solver:
             from .banded_path import make_banded_step
 
             self.tableau = get_tableau(self.numerics.ts_type)
+            if isinstance(self.tableau, DIRKTableau):
+                raise ValueError(
+                    "ksp_type=banded supports the Rosenbrock tableaus "
+                    "only; use -ts_type rosw (or a non-banded ksp_type "
+                    "with arkimex)"
+                )
             self.step_fn = make_banded_step(
                 ops, self.tableau, atol=self.atol, rtol=self.rtol
             )

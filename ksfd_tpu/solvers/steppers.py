@@ -30,7 +30,10 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["Tableau", "ROS34PW2", "BEULER", "get_tableau", "wlte_norm"]
+__all__ = [
+    "Tableau", "DIRKTableau", "ROS34PW2", "BEULER", "ARK324",
+    "get_tableau", "wlte_norm",
+]
 
 
 @dataclass(frozen=True)
@@ -129,7 +132,81 @@ BEULER = _transform(
     embedded_order=1,
 )
 
-_TABLEAUS = {"rosw": ROS34PW2, "ros34pw2": ROS34PW2, "beuler": BEULER}
+@dataclass(frozen=True)
+class DIRKTableau:
+    """Diagonally-implicit RK tableau (untransformed Butcher arrays).
+
+    Used for the ARKIMEX-class ESDIRK methods: stage i solves the
+    nonlinear equation U_i = u0 + h*sum_{j<=i} A[i][j] f(U_j) by
+    modified Newton with the step-start Jacobian (the reference always
+    ran '-snes_type ksponly', i.e. ONE Newton iteration per stage —
+    /root/reference/options84 PETSc block; here the iteration count is
+    NumericsOptions.snes_iters).
+    """
+
+    name: str
+    gamma: float          # the (repeated) diagonal entry
+    A: tuple              # full lower-triangular incl. diagonal
+    b: tuple              # solution weights (order `order`)
+    bhat: tuple           # embedded weights (order `embedded_order`)
+    c: tuple              # stage time fractions (row sums of A)
+    order: int
+    embedded_order: int
+
+    @property
+    def stages(self):
+        return len(self.b)
+
+
+def _dirk(name, A, b, bhat, order, embedded_order):
+    A = [[float(x) for x in row] for row in A]
+    c = [sum(row) for row in A]
+    diag = [A[i][i] for i in range(1, len(A))]
+    gamma = diag[0]
+    assert all(abs(d - gamma) < 1e-14 for d in diag), "not singly diagonal"
+    tt = lambda M: tuple(tuple(float(x) for x in row) for row in M)
+    tv = lambda v: tuple(float(x) for x in v)
+    return DIRKTableau(
+        name=name, gamma=float(gamma), A=tt(A), b=tv(b), bhat=tv(bhat),
+        c=tv(c), order=order, embedded_order=embedded_order,
+    )
+
+
+# Kennedy & Carpenter (2003) ARK3(2)4L[2]SA — the ESDIRK implicit part
+# of PETSc's TSARKIMEX3, the default '-ts_type arkimex' scheme: 4
+# stages (first explicit), stiffly accurate (b = last row), L-stable,
+# order 3 with an order-2 embedded pair.  Order conditions verified
+# exactly in rationals (sum b = 1, b.c = 1/2, b.c^2 = 1/3, bAc = 1/6).
+_ag = 1767732205903.0 / 4055673282236.0
+ARK324 = _dirk(
+    "ark324l2sa",
+    A=[
+        [0.0, 0.0, 0.0, 0.0],
+        [_ag, _ag, 0.0, 0.0],
+        [2746238789719.0 / 10658868560708.0,
+         -640167445237.0 / 6845629431997.0, _ag, 0.0],
+        [1471266399579.0 / 7840856788654.0,
+         -4482444167858.0 / 7529755066697.0,
+         11266239266428.0 / 11593286722821.0, _ag],
+    ],
+    b=[1471266399579.0 / 7840856788654.0,
+       -4482444167858.0 / 7529755066697.0,
+       11266239266428.0 / 11593286722821.0, _ag],
+    bhat=[2756255671327.0 / 12835298489170.0,
+          -10771552573575.0 / 22201958757719.0,
+          9247589265047.0 / 10645013368117.0,
+          2193209047091.0 / 5459859503100.0],
+    order=3,
+    embedded_order=2,
+)
+
+_TABLEAUS = {
+    "rosw": ROS34PW2,
+    "ros34pw2": ROS34PW2,
+    "beuler": BEULER,
+    "arkimex": ARK324,
+    "ark324": ARK324,
+}
 
 
 def get_tableau(name):

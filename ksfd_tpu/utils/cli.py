@@ -106,7 +106,8 @@ class NumericsOptions:
     step-size adaptor, and linear-solver tuning.
     """
 
-    ts_type: str = "rosw"        # rosw (ROS34PW2 W-method) | beuler
+    ts_type: str = "rosw"        # rosw (ROS34PW2 W-method) | arkimex
+                                 # (ARK324L2SA ESDIRK) | beuler
     adapt_type: str = "basic"    # basic | none
     dt_min: float = 1e-20
     dt_max: float = 1e4
@@ -137,6 +138,9 @@ class NumericsOptions:
                                  # on device (chunks between monitors;
                                  # auto-disabled when noise/CFL active)
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
+    snes_iters: int = 2          # modified-Newton iterations per DIRK
+                                 # stage (-snes_type ksponly sets 1,
+                                 # matching the reference's PETSc runs)
     monitor: bool = False
     unrecognized: list = field(default_factory=list)
 
@@ -146,10 +150,12 @@ class NumericsOptions:
 
 _TS_TYPE_MAP = {
     "rosw": "rosw",
-    # The reference always ran ROSW in practice; ARKIMEX/beuler were
-    # selectable.  We map arkimex to our W-method as the nearest
-    # stiffly-accurate adaptive implicit method.
-    "arkimex": "rosw",
+    # -ts_type arkimex selects the implicit (ESDIRK) part of PETSc's
+    # default ARKIMEX3 scheme — ARK324L2SA — with modified-Newton
+    # stage solves (steppers.ARK324); KSFD never uses the additive
+    # explicit part (its RHS is integrated fully implicitly,
+    # /root/reference/KSFD/ksfdts.py:69,563-596).
+    "arkimex": "arkimex",
     "beuler": "beuler",
 }
 
@@ -208,6 +214,17 @@ def decode_numerics(tokens, petsc_tokens=()):
         elif key == "ts_max_snes_failures":
             val, i = take_value(i)
             opts.max_snes_failures = int(val)
+        elif key == "snes_type":
+            val, i = take_value(i)
+            if val == "ksponly":
+                # one linear solve per implicit stage, exactly the
+                # reference's configuration (options84 PETSc block)
+                opts.snes_iters = 1
+            else:
+                opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
+        elif key == "snes_iters":
+            val, i = take_value(i)
+            opts.snes_iters = int(val)
         elif key == "ksp_max_it":
             val, i = take_value(i)
             opts.ksp_max_it = int(val)
