@@ -138,6 +138,13 @@ class NumericsOptions:
                                  # on device (chunks between monitors;
                                  # auto-disabled when noise/CFL active)
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
+    sweep_dtype: str = "float32"  # richardson sweep-chain dtype; f32
+                                  # (default) halves sweep HBM traffic
+                                  # while stage rhs/combos/error stay
+                                  # f64 — measured state deviation vs
+                                  # 16 f64 sweeps: 1.9e-7 at 1024^2
+                                  # (same as f64 4-sweep truncation);
+                                  # -ksp_sweep_dtype f64 opts out
     snes_iters: int = 2          # modified-Newton iterations per DIRK
                                  # stage (-snes_type ksponly sets 1,
                                  # matching the reference's PETSc runs)
@@ -268,6 +275,12 @@ def decode_numerics(tokens, petsc_tokens=()):
                 "f32": "float32", "f64": "float64",
                 "float32": "float32", "float64": "float64",
             }.get(val, opts.precision)
+        elif key == "ksp_sweep_dtype" or key == "sweep_dtype":
+            val, i = take_value(i)
+            opts.sweep_dtype = {
+                "f32": "float32", "f64": "float64",
+                "float32": "float32", "float64": "float64",
+            }.get(val, opts.sweep_dtype)
         elif key in ("ts_adapt_monitor", "snes_monitor", "ksp_monitor", "monitor"):
             val, i = take_value(i)
             opts.monitor = str(val) not in ("0", "false", "False", None)

@@ -61,7 +61,8 @@ def test_3d_sharded_matches_single_device():
     # fixed dt: adaptive h depends on enorm whose reduction order
     # differs across shardings in the last ulps, so trajectories are
     # only comparable at identical step sequences
-    numerics = NumericsOptions(ksp_iters=16, adapt_type="none")
+    numerics = NumericsOptions(ksp_iters=16, adapt_type="none",
+                               sweep_dtype="float64")
 
     def run(u0):
         s = Solver(ops, numerics, t0=0.0, dt=1.0, tmax=1e9, maxsteps=8,
@@ -107,3 +108,23 @@ def test_3d_cli_end_to_end(tmp_path):
     with h5py.File(save + "s1r0.h5", "r") as f:
         assert f["data4"].shape == (3, 16, 16, 16)
         assert np.isfinite(np.asarray(f["data4"])).all()
+
+
+def test_3d_sharded_mixed_sweeps_close():
+    """The default mixed-precision (f32) sweep chain is sharding-safe:
+    sharded vs single-device agree to f32-reassociation level (halo
+    bugs would show up as O(1) errors)."""
+    ps, grid, ops = _problem()
+    numerics = NumericsOptions(ksp_iters=4, adapt_type="none")
+    assert numerics.sweep_dtype == "float32"  # the default under test
+
+    def run(u0):
+        s = Solver(ops, numerics, t0=0.0, dt=1.0, tmax=1e9, maxsteps=8,
+                   rtol=1e-6, atol=0.01)
+        return np.asarray(s.solve(u0))
+
+    u0 = _u0(grid)
+    u_single = run(jnp.asarray(u0))
+    u_sharded, _ = distribute(jnp.asarray(u0), grid, shape=(2, 2, 2))
+    u_mesh = run(u_sharded)
+    np.testing.assert_allclose(u_mesh, u_single, rtol=0, atol=1e-4)
