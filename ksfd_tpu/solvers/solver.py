@@ -587,6 +587,36 @@ class Solver:
         n = self.numerics
         adapt = n.adapt_type != "none"
         u = jnp.asarray(u0)
+        # The fused Pallas kernels are single-chip (they pad the global
+        # array for halos; under a sharded state XLA would gather).
+        # Rebuild on the sharding-transparent XLA path instead of
+        # silently degrading.
+        if (
+            n.use_pallas
+            and n.precision in ("float32", "f32")
+            and getattr(u, "sharding", None) is not None
+            and len(u.sharding.device_set) > 1
+        ):
+            import dataclasses
+
+            logTS(
+                "sharded state: disabling single-chip Pallas fast path"
+            )
+            self.numerics = dataclasses.replace(n, use_pallas=False)
+            n = self.numerics
+            self.step_fn, self.tableau = make_step_fn(
+                self.ops, n, atol=self.atol, rtol=self.rtol
+            )
+            if self._multi is not None:
+                self._multi, _ = make_multistep_fn(
+                    self.ops, n, atol=self.atol, rtol=self.rtol
+                )
+            if self._chunk is not None:
+                self._chunk, _ = make_adaptive_chunk_fn(
+                    self.ops, n, atol=self.atol, rtol=self.rtol,
+                    max_attempts=32,
+                )
+            self._fallback_fn = None
         self.t = self.t0 if t is None else float(t)
         self.h = min(max(self.dt0, n.dt_min), n.dt_max)
         self.k = self.k0
