@@ -24,6 +24,17 @@ Mosaic has no float64, so these kernels are float32: they power the
 optional fast path; the float64 parity path keeps the XLA RHS.  2D
 only (the benchmark-critical case).
 
+Sharded operation (pass ``mesh=``): the kernels run per shard under
+jax.shard_map with the x-halo rows fetched from ring neighbors by
+jax.lax.ppermute — the SPMD analog of the reference's
+DMDA globalToLocal halo exchange before every evaluation
+(KSFD/ksfdsym.py:919-920); periodic wraparound IS the ring.  Only the
+leading spatial axis may be sharded (the kernel keeps full y rows
+resident in VMEM for its in-register rolls), matching the kernel's
+own x-major tiling.  On a real multi-chip mesh the exchanged halo is
+4 rows x ny x dof x 4B per neighbor — a few hundred KB over ICI per
+evaluation at 1024^2, negligible against the HBM traffic.
+
 Precision envelope (measured at 1024^2 x 3 on TPU v5e): on rough
 (aggregated, production mid-run) states the kernels add NO error
 beyond float32 itself — max rel deviation from the f64 RHS 1.1073e-4
@@ -38,15 +49,30 @@ answer, but quantitative startup-regime work belongs to the f64 path.
 """
 
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import deriv_coeffs
 
-__all__ = ["make_pallas_rhs", "pallas_available"]
+__all__ = [
+    "make_pallas_rhs",
+    "pallas_available",
+    "pallas_mesh_ok",
+    "sharding_mesh",
+]
+
+
+def _interpret_forced():
+    """KSFD_PALLAS_INTERPRET=1 runs the kernels in interpret mode on
+    any backend — the CI strategy for exercising the (sharded) fast
+    path on the virtual CPU mesh without TPU hardware."""
+    return os.environ.get("KSFD_PALLAS_INTERPRET", "") not in ("", "0")
 
 
 def pallas_available(grid, ops=None):
@@ -60,12 +86,38 @@ def pallas_available(grid, ops=None):
 
         if ops is not None and grid.dof != ops.nligands + 1:
             return False
-        return (
-            grid.dim == 2
-            and jax.devices()[0].platform == "tpu"
+        if ops is not None and getattr(ops, "flux_form", False):
+            # the kernels implement the product-rule discretization
+            # (the reference default); the conservative flux form
+            # stays on the XLA path
+            return False
+        return grid.dim == 2 and (
+            jax.devices()[0].platform == "tpu" or _interpret_forced()
         )
     except Exception:
         return False
+
+
+def pallas_mesh_ok(mesh, grid):
+    """True iff the fused kernels can run sharded over this mesh:
+    only the leading spatial axis split, and each shard keeps at
+    least one aligned tile of rows."""
+    if mesh is None:
+        return True
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_x = shape.get(mesh.axis_names[0], 1)
+    if any(shape[a] != 1 for a in mesh.axis_names[1:]):
+        return False
+    nx = int(grid.nps[0])
+    return nx % n_x == 0 and (nx // n_x) % 8 == 0
+
+
+def sharding_mesh(u):
+    """The Mesh behind an array's NamedSharding, or None."""
+    sh = getattr(u, "sharding", None)
+    if isinstance(sh, NamedSharding) and len(sh.device_set) > 1:
+        return sh.mesh
+    return None
 
 
 def _dx(slab, cs, sw, tx, halo):
@@ -95,23 +147,41 @@ def _dy(rows, cs, sw):
     return acc
 
 
-def make_pallas_rhs(ops, tile_x=128, interpret=False):
+def make_pallas_rhs(ops, tile_x=128, interpret=False, mesh=None):
     """Build (rhs_fn, jvp_fn) fused kernels for a 2D PDEOperators.
 
     rhs_fn(u, t): float32 (dof, nx, ny) -> (dof, nx, ny), including
         grooming, matching ops.rhs up to f32 arithmetic.  Sources are
         added outside the kernel (cheap fused XLA adds).
     jvp_fn(u, v, t): the exact directional derivative of rhs at u.
+
+    mesh: optional jax.sharding.Mesh sharding the leading spatial axis
+        (pallas_mesh_ok must hold); the kernels then run per shard
+        under shard_map with ppermute halo exchange and the global
+        mean reductions ride XLA collectives.
     """
     grid = ops.grid
     assert grid.dim == 2, "pallas RHS kernel is 2D"
+    interpret = interpret or _interpret_forced()
     nx, ny = grid.Sshape
+    n_shards = 1
+    axis_x = None
+    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+        if not pallas_mesh_ok(mesh, grid):
+            raise ValueError(
+                "pallas kernels require an x-only sharding with "
+                ">= 8 rows per shard; got mesh %r over nx=%d"
+                % (dict(zip(mesh.axis_names, mesh.devices.shape)), nx)
+            )
+        axis_x = mesh.axis_names[0]
+        n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_x]
+    nx_loc = nx // n_shards
     dof = ops.nligands + 1
     sw = ops.sw
-    tx = min(tile_x, nx)
-    while nx % tx:
+    tx = min(tile_x, nx_loc)
+    while nx_loc % tx:
         tx //= 2
-    ntiles = nx // tx
+    ntiles = nx_loc // tx
     # Mosaic requires VMEM slices row-aligned to the (8,128) f32 tile:
     # halo rows rounded up to a multiple of 4 so tx + 2*halo stays
     # 8-aligned (tx is a power of two >= 8)
@@ -225,16 +295,41 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False):
             o_ref[1 + l, :, :] = dU
 
     def pad_x(u):
-        # periodic halo rows, done once per call by XLA (cheap concat)
-        return jnp.concatenate(
-            [u[:, -halo:, :], u, u[:, :halo, :]], axis=1
+        # halo rows for the local (or global) x extent.  Single shard:
+        # periodic self-wrap, one cheap XLA concat.  Sharded: fetch the
+        # neighbors' boundary rows over the ring (ppermute on ICI); the
+        # periodic wraparound is the ring closure, exactly the DMDA
+        # boundary type of the reference (KSFD/ksfdgrid.py:139).
+        if n_shards == 1:
+            return jnp.concatenate(
+                [u[:, -halo:, :], u, u[:, :halo, :]], axis=1
+            )
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        left = jax.lax.ppermute(u[:, -halo:, :], axis_x, perm=fwd)
+        right = jax.lax.ppermute(u[:, :halo, :], axis_x, perm=bwd)
+        return jnp.concatenate([left, u, right], axis=1)
+
+    def shardwrap(fn, n_in):
+        """Run fn per shard: first arg replicated scalars, the rest
+        state-sharded arrays."""
+        if n_shards == 1:
+            return fn
+        state = PartitionSpec(None, *mesh.axis_names)
+        return jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(PartitionSpec(),) + (state,) * n_in,
+            out_specs=state,
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
         )
 
-    out_shape = jax.ShapeDtypeStruct((dof, nx, ny), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((dof, nx_loc, ny), jnp.float32)
     grid_spec_rhs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
             memory_space=pltpu.VMEM,
@@ -248,8 +343,8 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False):
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
@@ -263,9 +358,25 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False):
         ],
     )
 
+    def rhs_local(sc, u32):
+        return pl.pallas_call(
+            rhs_kernel, out_shape=out_shape, grid_spec=grid_spec_rhs,
+            interpret=interpret,
+        )(sc, pad_x(u32))
+
+    def jvp_local(tarr, u32, v32):
+        return pl.pallas_call(
+            jvp_kernel, out_shape=out_shape, grid_spec=grid_spec_jvp,
+            interpret=interpret,
+        )(tarr, pad_x(u32), pad_x(v32))
+
+    rhs_sharded = shardwrap(rhs_local, 1)
+    jvp_sharded = shardwrap(jvp_local, 2)
+
     @jax.jit
     def rhs_fn(u, t):
-        # means + mean-level reaction balance in f64 (cheap reductions)
+        # means + mean-level reaction balance in f64 (cheap reductions;
+        # on sharded state XLA lowers these to psum over the mesh)
         u64 = u.astype(jnp.float64)
         means = [jnp.mean(u64[i]) for i in range(dof)]
         G_m = G_fn(*means, t)
@@ -276,11 +387,7 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False):
         sc = jnp.asarray(
             [t] + means + [G_m] + reacts, dtype=jnp.float32
         )
-        u = u.astype(jnp.float32)
-        out = pl.pallas_call(
-            rhs_kernel, out_shape=out_shape, grid_spec=grid_spec_rhs,
-            interpret=interpret,
-        )(sc, pad_x(u))
+        out = rhs_sharded(sc, u.astype(jnp.float32))
         for i, active in enumerate(ops._source_active):
             if active:
                 out = out.at[i].add(
@@ -293,9 +400,6 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False):
         u = u.astype(jnp.float32)
         v = v.astype(jnp.float32)
         tarr = jnp.asarray([t], dtype=jnp.float32)
-        return pl.pallas_call(
-            jvp_kernel, out_shape=out_shape, grid_spec=grid_spec_jvp,
-            interpret=interpret,
-        )(tarr, pad_x(u), pad_x(v))
+        return jvp_sharded(tarr, u, v)
 
     return rhs_fn, jvp_fn

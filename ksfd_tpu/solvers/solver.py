@@ -32,13 +32,18 @@ logTS = logger("TS")
 __all__ = ["make_step_fn", "make_multistep_fn", "Solver"]
 
 
-def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
+def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
+                 mesh=None):
     """Build the jitted implicit step: (u, t, h) -> (u1, enorm).
 
     enorm is the PETSc-style weighted local truncation error of the
     embedded pair; enorm <= 1 means the step meets atol/rtol.  NaNs in
     a failed solve propagate into enorm, so a single isfinite check on
     the host covers divergence detection.
+
+    mesh: the device mesh the state is sharded over, if any — enables
+    the sharded Pallas fast path (shard_map + ppermute halo exchange)
+    when the sharding is kernel-compatible (pallas_mesh_ok).
     """
     numerics = numerics or NumericsOptions()
     tab = tableau or get_tableau(numerics.ts_type)
@@ -61,13 +66,28 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
 
     # float32 fast mode: on 2D TPU grids the RHS and the J-action run
     # as fused Pallas halo-stencil kernels (ops/pallas_stencil.py).
+    # Fused Pallas kernels (f32, TPU 2D): the float32 fast mode runs
+    # BOTH the stage RHS and the J-action on them; the float64 parity
+    # path uses only the J-action kernel, as the W operator of its
+    # float32 sweep chain (the sweeps already run in f32 — see the
+    # mixed-precision note below — so the kernel adds no error class,
+    # just removes HBM traffic).
     fast32 = numerics.precision in ("float32", "f32") and not use_dense
     pallas_rhs = pallas_jvp = None
-    if fast32 and numerics.use_pallas:
-        from ..ops.pallas_stencil import make_pallas_rhs, pallas_available
+    if numerics.use_pallas and not use_dense:
+        from ..ops.pallas_stencil import (
+            make_pallas_rhs,
+            pallas_available,
+            pallas_mesh_ok,
+        )
 
-        if pallas_available(ops.grid, ops):
-            pallas_rhs, pallas_jvp = make_pallas_rhs(ops)
+        if pallas_available(ops.grid, ops) and pallas_mesh_ok(
+            mesh, ops.grid
+        ):
+            kern_rhs, kern_jvp = make_pallas_rhs(ops, mesh=mesh)
+            pallas_jvp = kern_jvp
+            if fast32:
+                pallas_rhs = kern_rhs
 
     is_dirk = isinstance(tab, DIRKTableau)
 
@@ -130,11 +150,17 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
         )
         if mixed32:
             t32 = jnp.asarray(t, dtype=jnp.float32)
-            _, jvp32 = jax.linearize(
-                lambda uu: ops.rhs(uu, t32), u.astype(jnp.float32)
-            )
             shift32 = jnp.asarray(shift, dtype=jnp.float32)
-            W32 = lambda v: shift32 * v - jvp32(v)
+            if pallas_jvp is not None:
+                # fused halo-stencil J-action kernel: one HBM pass per
+                # W apply instead of the XLA re-linearization's many
+                u32 = u.astype(jnp.float32)
+                W32 = lambda v: shift32 * v - pallas_jvp(u32, v, t32)
+            else:
+                _, jvp32 = jax.linearize(
+                    lambda uu: ops.rhs(uu, t32), u.astype(jnp.float32)
+                )
+                W32 = lambda v: shift32 * v - jvp32(v)
 
         def solve(bi):
             """One stage solve: y = W^{-1} bi, W = shift*I - J."""
@@ -223,7 +249,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None):
 
 
 def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
-                      tableau=None):
+                      tableau=None, mesh=None):
     """Fused fixed-dt multi-step driver: ONE device execution runs
     ``nsteps`` implicit steps chained through lax.fori_loop.
 
@@ -235,7 +261,7 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     only block boundaries (the Solver exposes this as block_steps).
     """
     step, tab = make_step_fn(
-        ops, numerics, atol=atol, rtol=rtol, tableau=tableau
+        ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
     )
 
     fast32 = (numerics or NumericsOptions()).precision in (
@@ -262,7 +288,7 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
 
 
 def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
-                           tableau=None, max_attempts=64):
+                           tableau=None, max_attempts=64, mesh=None):
     """Fused ADAPTIVE integrator chunk: accept/reject control flow on
     device (lax.while_loop), no host round-trips between steps.
 
@@ -277,7 +303,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     """
     numerics = numerics or NumericsOptions()
     step, tab = make_step_fn(
-        ops, numerics, atol=atol, rtol=rtol, tableau=tableau
+        ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
     )
     # the robust retry (same escalation as the host loop's fallback):
     # when the fast stage solver's step is rejected, the SAME h is
@@ -294,7 +320,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
             ksp_restart=12, ksp_max_it=4,
         )
         step_robust, _ = make_step_fn(
-            ops, nm, atol=atol, rtol=rtol, tableau=tableau
+            ops, nm, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
         )
     n = numerics
     expo = -1.0 / (tab.order + 1)
@@ -413,6 +439,7 @@ class Solver:
         self.block_steps = int(block_steps)
         self._multi = None
         self._chunk = None
+        self._mesh = None
         self._fallback_fn = None
         self._fb_mode = False
         self._fb_accepts = 0
@@ -556,7 +583,8 @@ class Solver:
                 ksp_restart=12, ksp_max_it=4,
             )
             self._fallback_fn, _ = make_step_fn(
-                self.ops, nm, atol=self.atol, rtol=self.rtol
+                self.ops, nm, atol=self.atol, rtol=self.rtol,
+                mesh=self._mesh,
             )
         return self._fallback_fn
 
@@ -587,10 +615,11 @@ class Solver:
         n = self.numerics
         adapt = n.adapt_type != "none"
         u = jnp.asarray(u0)
-        # The fused Pallas kernels are single-chip (they pad the global
-        # array for halos; under a sharded state XLA would gather).
-        # Rebuild on the sharding-transparent XLA path instead of
-        # silently degrading.
+        # Sharded state + Pallas fast path: when the sharding splits
+        # only the leading spatial axis, rebuild the step functions on
+        # the sharded kernels (shard_map + ppermute halo exchange).
+        # Any other sharding falls back to the sharding-transparent
+        # XLA path instead of silently gathering to one device.
         if (
             n.use_pallas
             and n.precision in ("float32", "f32")
@@ -599,22 +628,44 @@ class Solver:
         ):
             import dataclasses
 
-            logTS(
-                "sharded state: disabling single-chip Pallas fast path"
+            from ..ops.pallas_stencil import (
+                pallas_available,
+                pallas_mesh_ok,
+                sharding_mesh,
             )
-            self.numerics = dataclasses.replace(n, use_pallas=False)
-            n = self.numerics
+
+            mesh = sharding_mesh(u)
+            if (
+                mesh is not None
+                and pallas_available(self.ops.grid, self.ops)
+                and pallas_mesh_ok(mesh, self.ops.grid)
+            ):
+                logTS(
+                    "sharded state: Pallas fast path over mesh",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)),
+                )
+                self._mesh = mesh
+            else:
+                logTS(
+                    "sharding incompatible with the fused kernels: "
+                    "disabling the Pallas fast path"
+                )
+                self.numerics = dataclasses.replace(n, use_pallas=False)
+                n = self.numerics
+                self._mesh = mesh
             self.step_fn, self.tableau = make_step_fn(
-                self.ops, n, atol=self.atol, rtol=self.rtol
+                self.ops, n, atol=self.atol, rtol=self.rtol,
+                mesh=self._mesh,
             )
             if self._multi is not None:
                 self._multi, _ = make_multistep_fn(
-                    self.ops, n, atol=self.atol, rtol=self.rtol
+                    self.ops, n, atol=self.atol, rtol=self.rtol,
+                    mesh=self._mesh,
                 )
             if self._chunk is not None:
                 self._chunk, _ = make_adaptive_chunk_fn(
                     self.ops, n, atol=self.atol, rtol=self.rtol,
-                    max_attempts=32,
+                    max_attempts=32, mesh=self._mesh,
                 )
             self._fallback_fn = None
         self.t = self.t0 if t is None else float(t)
