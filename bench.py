@@ -10,10 +10,13 @@ GMRES is the rejection fallback), embedded error estimate — the same
 work the reference does per PETSc TSStep with analytic-Jacobian
 assembly + MUMPS LU.
 
-Anti-dedupe: the axon TPU tunnel pipelines/dedupes repeated identical
-executions and reports absurd speeds (CLAUDE.md), so the timed call
-uses a PERTURBED initial state — different bytes from warmup — and we
-assert the two executions' outputs actually differ.
+Measurement discipline (CLAUDE.md "Environment gotchas"): the axon
+TPU tunnel (a) pipelines/dedupes repeated identical executions, (b)
+lets block_until_ready() return early, and (c) charges a large fixed
+per-dispatch cost.  Countermeasures, in order: perturbed inputs per
+timed call (outputs asserted to differ from warmup), host-transfer
+fences around every timed region, and slope timing (t(n_big) -
+t(n_small)) / (n_big - n_small) so fixed per-call costs cancel.
 
 Baseline derivation (BASELINE.md): the reference's only at-scale
 figure is the options84 cluster config — 16 MPI ranks x 8 threads,
@@ -73,30 +76,56 @@ def main(argv=None):
     # the fused fixed-dt multi-step driver: the steps are CHAINED
     # (each consumes the previous state) inside one device execution,
     # exactly like a production fixed-dt run
-    multi, _ = make_multistep_fn(ops, numerics, atol=0.01, rtol=1e-6)
+    multi, _ = make_multistep_fn(
+        ops, numerics, atol=0.01, rtol=1e-6, static_steps=False
+    )
     u = jnp.asarray(ge._initial_state(grid))
     t = jnp.asarray(0.0)
     h = jnp.asarray(args.dt)
 
-    # warmup (compile + cache); nsteps is a static arg so warm up with
-    # the same value as the timed call
-    uw, tw, enorm = multi(u, t, h, args.steps)
-    uw.block_until_ready()
-    enorm0 = float(enorm)
+    # Timing discipline for the axon tunnel (CLAUDE.md):
+    # - the steps are CHAINED inside one jit call (fused multistep);
+    # - block_until_ready() can return EARLY, so every execution is
+    #   fenced by a host transfer of a scalar derived from the result
+    #   (the gather is compiled during warmup so it never lands inside
+    #   a timed region);
+    # - per-dispatch fixed costs (tunnel round-trip, runtime dispatch)
+    #   are cancelled by SLOPE timing: time an n_small-step and an
+    #   n_big-step execution and divide the difference -- production
+    #   runs keep the state on device across steps, so the fixed
+    #   per-call cost is not part of the per-step cost;
+    # - each timed call uses a distinctly perturbed input so the
+    #   tunnel cannot dedupe it against warmup, asserted below.
+    n_small, n_big = 2, args.steps + 2
 
-    # timed call on a perturbed input so the tunnel cannot dedupe it
-    # against the warmup execution (see module docstring)
-    up = u * (1.0 + 1e-9) + 1e-9
-    up.block_until_ready()
-    t0 = time.perf_counter()
-    u1, t1, enorm = multi(up, t, h, args.steps)
-    u1.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    assert not bool(jnp.array_equal(u1, uw)), (
-        "timed output identical to warmup output - dedupe suspected"
-    )
+    def fence(arr, e):
+        return float(arr[0, 0, 0]) + float(e)
 
-    step_time = elapsed / args.steps
+    uw = {}
+    enorm0 = None
+    for nst in (n_small, n_big):  # compile the loops AND the fence gather
+        u1, t1, e1 = multi(u, t, h, nst)
+        fence(u1, e1)
+        uw[nst] = u1
+        enorm0 = float(e1)
+
+    times = {}
+    outs = {}
+    for nst, pert in ((n_small, 1e-9), (n_big, 2e-9)):
+        up = u * (1.0 + pert) + pert
+        fence(up, 0.0)
+        t0 = time.perf_counter()
+        u1, t1, e1 = multi(up, t, h, nst)
+        fence(u1, e1)
+        times[nst] = time.perf_counter() - t0
+        outs[nst] = u1
+        enorm = e1
+    for nst in (n_small, n_big):
+        assert not bool(jnp.array_equal(outs[nst], uw[nst])), (
+            "timed output identical to warmup output - dedupe suspected"
+        )
+
+    step_time = (times[n_big] - times[n_small]) / (n_big - n_small)
     dof = grid.n_dofs
     rate = dof / step_time
     if args.verbose:

@@ -249,7 +249,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
 
 
 def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
-                      tableau=None, mesh=None):
+                      tableau=None, mesh=None, static_steps=True):
     """Fused fixed-dt multi-step driver: ONE device execution runs
     ``nsteps`` implicit steps chained through lax.fori_loop.
 
@@ -284,7 +284,12 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         )
         return u, t, emax
 
-    return jax.jit(multi, static_argnums=3), tab
+    # static_steps=False compiles ONE executable serving any step
+    # count (fori_loop with a traced bound) — used by slope-timing
+    # benchmarks where two counts must share a compilation.
+    if static_steps:
+        return jax.jit(multi, static_argnums=3), tab
+    return jax.jit(multi), tab
 
 
 def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
