@@ -10,10 +10,10 @@ quantities is rewritten into an algebraically equivalent form that
 never forms the large intermediates.  This module performs that
 rewrite on the sympy expression tree:
 
-    log(a + da) - log(a)    ->  log1p(da / a)
+    log(a + da) - log(a)    ->  log1p(da / a), switching to a direct
+                                   log difference for |da| >= a/2
     exp(a + da) - exp(a)    ->  exp(a) * expm1(da)
-    tanh(a + da) - tanh(a)  ->  tanh(da)*(1 - tanh(a)^2)
-                                   / (1 + tanh(a)*tanh(da))
+    tanh(a + da) - tanh(a)  ->  tanh(da)*(1 - tanh(a)*tanh(a + da))
     (A*B)(u+d) - (A*B)(u)   ->  dA*B + A*dB + dA*dB
     (a + da)^n - a^n        ->  binomial expansion (every term
                                    carries a factor of da)
@@ -45,20 +45,23 @@ class UnsupportedDelta(KSFDException):
 
 #: sympy Function heads emitted by the rewrite, with their JAX
 #: implementations (passed as an extra module dict to lambdify).
+#: where_ replaces sympy Piecewise because the jax printer lowers
+#: Piecewise to jnp.select, whose argmax has no Mosaic lowering.
 log1p = sy.Function("log1p")
 expm1 = sy.Function("expm1")
+where_ = sy.Function("where_")
 
 
 def _jax_modules():
     import jax.numpy as jnp
 
-    return {"log1p": jnp.log1p, "expm1": jnp.expm1}
+    return {"log1p": jnp.log1p, "expm1": jnp.expm1, "where_": jnp.where}
 
 
 DELTA_MODULES = _jax_modules
 
 
-def delta_expr(expr, field_map):
+def delta_expr(expr, field_map, shifted_map=None):
     """The increment expr(.. f+df ..) - expr(.. f ..), rewritten.
 
     Parameters
@@ -66,12 +69,21 @@ def delta_expr(expr, field_map):
     expr : sympy expression over field symbols (+ anything field-free,
         e.g. time).
     field_map : dict {field_symbol: delta_symbol}.
+    shifted_map : optional dict {field_symbol: shifted_symbol} naming
+        the SHIFTED state f + df as its own input.  Low-precision
+        evaluation needs it: when a clamp sends a field from O(1e4) to
+        its floor, df/f rounds to exactly -1 in float32 and
+        log1p(-1) = -inf; the rewrite then branches per point to a
+        direct difference of the (far-apart, cancellation-free)
+        shifted and base values.  Without it, shifted quantities are
+        formed as f + df (adequate in float64).
 
-    Returns a sympy expression over the field symbols AND the delta
-    symbols in which every term carries at least one delta factor —
-    i.e. it evaluates the increment without ever forming
-    expr(u + d) or expr(u) themselves.  Raises UnsupportedDelta for
-    expression shapes without a known rewrite.
+    Returns a sympy expression over the field symbols, the delta
+    symbols (and shifted symbols if given) in which every term
+    carries at least one delta factor — i.e. it evaluates the
+    increment without ever forming expr(u + d) or expr(u) themselves.
+    Raises UnsupportedDelta for expression shapes without a known
+    rewrite.
     """
     expr = sy.sympify(expr)
     fields = set(field_map)
@@ -80,7 +92,9 @@ def delta_expr(expr, field_map):
         return fields.isdisjoint(e.free_symbols)
 
     def shifted(e):
-        """e with every field replaced by field + delta (exact)."""
+        """e at the shifted state (exact)."""
+        if shifted_map is not None:
+            return e.xreplace(shifted_map)
         return e.xreplace({f: f + d for f, d in field_map.items()})
 
     def rec(e):
@@ -130,15 +144,24 @@ def delta_expr(expr, field_map):
             raise UnsupportedDelta("exponent %s in %s" % (ex, e))
         if isinstance(e, sy.log):
             (a,) = e.args
-            return log1p(rec(a) / a)
+            da = rec(a)
+            small = log1p(da / a)
+            # Large relative increments (|da| >= a/2, e.g. a clamp to
+            # the floor): da/a is within one ulp of -1 in low
+            # precision, so difference the logs directly — the values
+            # are far apart there, so no cancellation.
+            big = sy.log(shifted(a)) - sy.log(a)
+            return where_(sy.Abs(da) < a / 2, small, big)
         if isinstance(e, sy.exp):
             (a,) = e.args
             return sy.exp(a) * expm1(rec(a))
         if isinstance(e, sy.tanh):
+            # tanh(b) - tanh(a) = tanh(b-a) * (1 - tanh(a)*tanh(b)):
+            # exact, and — unlike the (1 - T^2)/(1 + T*Td) form — has
+            # no denominator, so opposite saturations (T=1, Td=-1)
+            # cannot produce 0/0.
             (a,) = e.args
-            T = sy.tanh(a)
-            Td = sy.tanh(rec(a))
-            return Td * (1 - T ** 2) / (1 + T * Td)
+            return sy.tanh(rec(a)) * (1 - sy.tanh(a) * sy.tanh(shifted(a)))
         raise UnsupportedDelta(
             "no increment form for %s node %s" % (type(e).__name__, e)
         )

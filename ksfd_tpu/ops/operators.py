@@ -133,7 +133,7 @@ class PDEOperators:
         Us = [sy.Symbol(lig.name()) for lig in ps.Vgroups.ligands()]
         params = ps.time_dependent_symbols()  # constants folded, TD symbolic
         Gexp = ps.V(Us, rho, params=params) + params["s2"] * sy.log(rho)
-        Gexp, _ = self._resolve_td(Gexp, allowed=[rho] + Us)
+        Gexp, self._G_tdep = self._resolve_td(Gexp, allowed=[rho] + Us)
         self.G_expr = Gexp
         self._G_fn = jaxify([rho] + Us + [_T], Gexp, name="G")
         # partial derivatives of G w.r.t. each field, used by the
@@ -143,10 +143,32 @@ class PDEOperators:
             jaxify(fields + [_T], sy.diff(Gexp, f), name="dG_d" + str(f))
             for f in fields
         ]
+        # cancellation-free increment form G(u + d) - G(u) (the
+        # stage-delta kernel's pointwise core); None when the
+        # expression has no known rewrite (ops/delta.py).  Signature:
+        # (fields0..., deltas..., shifted_fields..., t) — the shifted
+        # state is a separate input so float32 evaluation survives
+        # clamp-to-floor increments (see delta_expr).
+        from .delta import UnsupportedDelta, delta_expr, jaxify_delta
+
+        dfields = [sy.Symbol("_d_" + str(f)) for f in fields]
+        sfields = [sy.Symbol("_s_" + str(f)) for f in fields]
+        try:
+            Gdelta = delta_expr(
+                Gexp,
+                dict(zip(fields, dfields)),
+                shifted_map=dict(zip(fields, sfields)),
+            )
+            self._G_delta_fn = jaxify_delta(
+                fields + dfields + sfields + [_T], Gdelta, name="G_delta"
+            )
+        except UnsupportedDelta:
+            self._G_delta_fn = None
 
     def _build_ligand_coeffs(self):
         """Per-ligand gamma/s/D as JAX functions of t (TD-aware)."""
         self._lig_coeffs = []
+        self._lig_tdep = False
         for lig in self.ps.Vgroups.ligands():
             coeffs = {}
             for cname, val in (("gamma", lig.gamma), ("s", lig.s), ("D", lig.D)):
@@ -154,10 +176,23 @@ class PDEOperators:
                 expr, tdep = self._resolve_td(expr)
                 if tdep:
                     coeffs[cname] = jaxify((_T,), expr, name=cname)
+                    self._lig_tdep = True
                 else:
                     const = float(expr)
                     coeffs[cname] = lambda t, c=const: c
             self._lig_coeffs.append(coeffs)
+
+    def stage_delta_ok(self):
+        """True when stage RHS evaluations may use the increment form
+        f(u0 + d) = f(u0) + [delta kernel], i.e. the PDE coefficients
+        carry no explicit time dependence (the stages sit at shifted
+        times t + alpha_i*h; time-dependent SOURCES are corrected
+        exactly outside the kernel by the solver)."""
+        return (
+            self._G_delta_fn is not None
+            and not self._G_tdep
+            and not self._lig_tdep
+        )
 
     # ------------------------------------------------------------------
     def groom(self, u):

@@ -62,6 +62,7 @@ from .stencil import deriv_coeffs
 
 __all__ = [
     "make_pallas_rhs",
+    "make_pallas_kernels",
     "pallas_available",
     "pallas_mesh_ok",
     "sharding_mesh",
@@ -148,12 +149,30 @@ def _dy(rows, cs, sw):
 
 
 def make_pallas_rhs(ops, tile_x=128, interpret=False, mesh=None):
-    """Build (rhs_fn, jvp_fn) fused kernels for a 2D PDEOperators.
+    """Compatibility wrapper: (rhs_fn, jvp_fn) of make_pallas_kernels."""
+    k = make_pallas_kernels(
+        ops, tile_x=tile_x, interpret=interpret, mesh=mesh
+    )
+    return k.rhs, k.jvp
 
-    rhs_fn(u, t): float32 (dof, nx, ny) -> (dof, nx, ny), including
+
+def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
+    """Build the fused kernels for a 2D PDEOperators.
+
+    Returns a namespace with:
+
+    rhs(u, t): float32 (dof, nx, ny) -> (dof, nx, ny), including
         grooming, matching ops.rhs up to f32 arithmetic.  Sources are
         added outside the kernel (cheap fused XLA adds).
-    jvp_fn(u, v, t): the exact directional derivative of rhs at u.
+    jvp(u, v, t): the exact directional derivative of rhs at u.
+    delta(u0, d, u1, t): the exact increment rhs(u1) - rhs(u0)
+        (source-free part), evaluated via the cancellation-free forms
+        of ops/delta.py — accurate to ~f32 eps RELATIVE TO THE
+        INCREMENT, which is what makes it usable as a stage-RHS
+        correction on the float64 parity path.  None when the free
+        energy has no increment rewrite.  u0 must be groomed;
+        u1 = groom(u0 + inc) and d = u1 - u0, both formed in f64 by
+        the caller.
 
     mesh: optional jax.sharding.Mesh sharding the leading spatial axis
         (pallas_mesh_ok must hold); the kernels then run per shard
@@ -294,6 +313,59 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False, mesh=None):
             )
             o_ref[1 + l, :, :] = dU
 
+    G_delta_fn = getattr(ops, "_G_delta_fn", None)
+
+    def delta_kernel(
+        sc_ref, u_ref, d_ref, s_ref, o_ref, slab, dslab, sslab,
+        sem, dsem, ssem,
+    ):
+        # sc layout: [t, rho_mean, G0_mean] (means in f64 outside).
+        # Exact increment of the (source-free, groomed-state) RHS:
+        #   d(drho) = grad(drho).grad(Gs) + grad(rho0c).grad(dG)
+        #           + drho*lap(Gs) + rho0*lap(dG),
+        #   Gs = G0c + dG  (the STAGE state's centered free energy),
+        # derived from the product rule; dG is the cancellation-free
+        # increment of G (ops/delta.py), so every differenced quantity
+        # is either small (drho, dG) or centered (G0c, rho0c).  The
+        # shifted-state slab feeds the clamp-to-floor branch of dG.
+        i = pl.program_id(0)
+        cps = []
+        for ref, scratch, s in (
+            (u_ref, slab, sem), (d_ref, dslab, dsem), (s_ref, sslab, ssem),
+        ):
+            cp = pltpu.make_async_copy(
+                ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], scratch, s
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+        t = sc_ref[0]
+        rho0 = slab[0]
+        Us0 = [slab[1 + l] for l in range(dof - 1)]
+        drho = dslab[0]
+        dUs = [dslab[1 + l] for l in range(dof - 1)]
+        f1 = [sslab[l] for l in range(dof)]
+        G0c = G_fn(rho0, *Us0, t) - sc_ref[2]
+        dG = G_delta_fn(rho0, *Us0, drho, *dUs, *f1, t)
+        Gs = G0c + dG
+        rho0c = rho0 - sc_ref[1]
+        drho_i = drho[halo : halo + tx, :]
+        rho0_i = rho0[halo : halo + tx, :]
+        ddrho = (
+            graddot(drho, Gs)
+            + graddot(rho0c, dG)
+            + drho_i * lap(Gs)
+            + rho0_i * lap(dG)
+        )
+        o_ref[0, :, :] = ddrho
+        for l in range(dof - 1):
+            o_ref[1 + l, :, :] = (
+                -lig[l]["gamma"](t) * dUs[l][halo : halo + tx, :]
+                + lig[l]["s"](t) * drho_i
+                + lig[l]["D"](t) * lap(dUs[l])
+            )
+
     def pad_x(u):
         # halo rows for the local (or global) x extent.  Single shard:
         # periodic self-wrap, one cheap XLA concat.  Sharded: fetch the
@@ -370,8 +442,37 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False, mesh=None):
             interpret=interpret,
         )(tarr, pad_x(u32), pad_x(v32))
 
+    grid_spec_delta = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
+            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
+            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def delta_local(sc, u32, d32, s32):
+        return pl.pallas_call(
+            delta_kernel, out_shape=out_shape, grid_spec=grid_spec_delta,
+            interpret=interpret,
+        )(sc, pad_x(u32), pad_x(d32), pad_x(s32))
+
     rhs_sharded = shardwrap(rhs_local, 1)
     jvp_sharded = shardwrap(jvp_local, 2)
+    delta_sharded = shardwrap(delta_local, 3)
 
     @jax.jit
     def rhs_fn(u, t):
@@ -402,4 +503,26 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False, mesh=None):
         tarr = jnp.asarray([t], dtype=jnp.float32)
         return jvp_sharded(tarr, u, v)
 
-    return rhs_fn, jvp_fn
+    delta_fn = None
+    if G_delta_fn is not None:
+
+        @jax.jit
+        def delta_fn(u0, d, u1, t):
+            """rhs(u1) - rhs(u0) with d = u1 - u0 computed in f64 by
+            the caller (u1 passed separately: f32(u0) + f32(d) cannot
+            recover a clamped-to-floor u1)."""
+            u64 = u0.astype(jnp.float64)
+            rho_mean = jnp.mean(u64[0])
+            means = [rho_mean] + [jnp.mean(u64[i]) for i in range(1, dof)]
+            G_m = G_fn(*means, t)
+            sc = jnp.asarray([t, rho_mean, G_m], dtype=jnp.float32)
+            return delta_sharded(
+                sc,
+                u0.astype(jnp.float32),
+                d.astype(jnp.float32),
+                u1.astype(jnp.float32),
+            )
+
+    from types import SimpleNamespace
+
+    return SimpleNamespace(rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn)

@@ -73,10 +73,11 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
     # mixed-precision note below — so the kernel adds no error class,
     # just removes HBM traffic).
     fast32 = numerics.precision in ("float32", "f32") and not use_dense
-    pallas_rhs = pallas_jvp = None
+    sweep32 = numerics.sweep_dtype in ("float32", "f32")
+    pallas_rhs = pallas_jvp = pallas_delta = None
     if numerics.use_pallas and not use_dense:
         from ..ops.pallas_stencil import (
-            make_pallas_rhs,
+            make_pallas_kernels,
             pallas_available,
             pallas_mesh_ok,
         )
@@ -84,10 +85,21 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
         if pallas_available(ops.grid, ops) and pallas_mesh_ok(
             mesh, ops.grid
         ):
-            kern_rhs, kern_jvp = make_pallas_rhs(ops, mesh=mesh)
-            pallas_jvp = kern_jvp
+            kern = make_pallas_kernels(ops, mesh=mesh)
+            pallas_jvp = kern.jvp
             if fast32:
-                pallas_rhs = kern_rhs
+                pallas_rhs = kern.rhs
+            elif (
+                numerics.stage_delta
+                and sweep32
+                and kern.delta is not None
+                and ops.stage_delta_ok()
+            ):
+                # f64 parity path: stage RHS as f(u0) + fused increment
+                # kernel — replaces 3 of the 4 f64 RHS evals per step
+                # within the established mixed-precision envelope
+                # (~1e-6 relative to the increment)
+                pallas_delta = kern.delta
 
     is_dirk = isinstance(tab, DIRKTableau)
 
@@ -107,6 +119,29 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
         else:
             f0, jvp_fn = jax.linearize(lambda uu: ops.rhs(uu, t), u)
             stage_rhs = ops.rhs
+
+        if pallas_delta is not None:
+
+            def stage_eval(Ui, ti):
+                """f(Ui, ti) as f0 + the fused increment kernel.
+
+                Exact because the PDE coefficients carry no explicit
+                time dependence here (stage_delta_ok); time-dependent
+                sources are corrected outside the kernel.
+                """
+                Ug = ops.groom(Ui)
+                fi = f0 + pallas_delta(u, Ug - u, Ug, t).astype(f0.dtype)
+                for isrc, active in enumerate(ops._source_active):
+                    if active and ops.sources[isrc].tdep:
+                        fi = fi.at[isrc].add(
+                            (
+                                ops.sources[isrc](ti) - ops.sources[isrc](t)
+                            ).astype(f0.dtype)
+                        )
+                return fi
+
+        else:
+            stage_eval = stage_rhs
 
         if use_dense:
             lu_piv = dense_prepare(u, t, shift)
@@ -211,11 +246,11 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                         r = r + (h * tab.A[i][j]) * fs[j]
                 ti = t + tab.c[i] * h
                 Ui = r  # predictor: neglect the implicit increment
-                fUi = stage_rhs(Ui, ti)
+                fUi = stage_eval(Ui, ti)
                 for _ in range(newton_iters):
                     res = Ui - (h * tab.gamma) * fUi - r
                     Ui = Ui - shift * solve(res)
-                    fUi = stage_rhs(Ui, ti)
+                    fUi = stage_eval(Ui, ti)
                 fs.append(fUi)
             u1 = u
             uhat = u
@@ -232,7 +267,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 if i == 0 and tab.alpha[0] == 0.0:
                     bi = f0
                 else:
-                    bi = stage_rhs(Ui, t + tab.alpha[i] * h)
+                    bi = stage_eval(Ui, t + tab.alpha[i] * h)
                 for j in range(i):
                     if tab.c[i][j]:
                         bi = bi + (tab.c[i][j] / h) * Ys[j]
@@ -320,9 +355,11 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         # rolled-loop GMRES: small graph (the unrolled variants
         # trigger multi-minute XLA:TPU compile scheduling), higher
         # per-call cost — the right tradeoff for a rarely-taken retry
+        # full f64 stage evals: the retry must not share the fast
+        # path's mixed-precision approximations
         nm = dataclasses.replace(
             numerics, ksp_type="gmres_scipy",
-            ksp_restart=12, ksp_max_it=4,
+            ksp_restart=12, ksp_max_it=4, stage_delta=False,
         )
         step_robust, _ = make_step_fn(
             ops, nm, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
@@ -583,9 +620,11 @@ class Solver:
         if self._fallback_fn is None:
             import dataclasses
 
+            # full f64 stage evals: the retry must not share the fast
+            # path's mixed-precision approximations
             nm = dataclasses.replace(
                 self.numerics, ksp_type="gmres_scipy",
-                ksp_restart=12, ksp_max_it=4,
+                ksp_restart=12, ksp_max_it=4, stage_delta=False,
             )
             self._fallback_fn, _ = make_step_fn(
                 self.ops, nm, atol=self.atol, rtol=self.rtol,

@@ -145,6 +145,14 @@ class NumericsOptions:
                                   # 16 f64 sweeps: 1.9e-7 at 1024^2
                                   # (same as f64 4-sweep truncation);
                                   # -ksp_sweep_dtype f64 opts out
+    stage_delta: bool = True     # evaluate stage RHS as f(u0) + fused
+                                 # increment kernel (f32, accurate to
+                                 # ~1e-6 of the increment; ops/delta.py)
+                                 # instead of a full f64 eval per
+                                 # stage.  Active only on the mixed
+                                 # path (sweep_dtype f32, Pallas
+                                 # available, no TD coefficients);
+                                 # -stage_delta 0 opts out
     snes_iters: int = 2          # modified-Newton iterations per DIRK
                                  # stage (-snes_type ksponly sets 1,
                                  # matching the reference's PETSc runs)
@@ -269,6 +277,9 @@ def decode_numerics(tokens, petsc_tokens=()):
         elif key == "device_loop":
             val, i = take_value(i)
             opts.device_loop = str(val) not in ("0", "false", "False")
+        elif key == "stage_delta":
+            val, i = take_value(i)
+            opts.stage_delta = str(val) not in ("0", "false", "False")
         elif key == "precision":
             val, i = take_value(i)
             opts.precision = {

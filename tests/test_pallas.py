@@ -189,14 +189,18 @@ def test_mixed_precision_pallas_W(ops2d, monkeypatch):
     from ksfd_tpu.solvers import make_step_fn
 
     ps, grid, ops = ops2d
-    u0 = jnp.asarray(rough_state(grid))
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
     t = jnp.asarray(0.0)
-    h = jnp.asarray(0.5)
+    # an ACCEPTED step (enorm < 1): a hugely rejected step's states
+    # diverge inside the failing solve and amplify representation
+    # differences meaninglessly
+    h = jnp.asarray(1e-3)
 
     step_xla, _ = make_step_fn(
         ops, NumericsOptions(use_pallas=False), atol=0.01, rtol=1e-6
     )
     u_ref, e_ref = step_xla(u0, t, h)
+    assert float(e_ref) < 1.0
 
     monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
     step_pal, _ = make_step_fn(
@@ -206,5 +210,102 @@ def test_mixed_precision_pallas_W(ops2d, monkeypatch):
     assert u_pal.dtype == u_ref.dtype == jnp.float64
     scale = float(jnp.max(jnp.abs(u_ref - u0)))  # the step increment
     dev = float(jnp.max(jnp.abs(u_pal - u_ref)))
-    assert dev / scale < 1e-4, (dev, scale)
-    assert np.isfinite(float(e_pal))
+    assert dev / scale < 1e-5, (dev, scale)
+    # the embedded error estimates must agree (controller parity)
+    assert abs(float(e_pal) - float(e_ref)) / float(e_ref) < 1e-2
+
+
+# ---------------------------------------------------------------------
+# stage-delta kernel: f(u0 + d) - f(u0) via cancellation-free forms
+# ---------------------------------------------------------------------
+
+def test_delta_kernel_accuracy(ops2d):
+    """The fused increment kernel must match the f64 oracle increment
+    to ~f32 eps RELATIVE TO THE INCREMENT on both rough and
+    near-uniform states."""
+    from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels
+
+    ps, grid, ops = ops2d
+    k = make_pallas_kernels(ops, tile_x=16, interpret=True)
+    assert k.delta is not None
+    rng = np.random.default_rng(3)
+    n = grid.Sshape[0]
+    wave = np.sin(2 * np.pi * np.arange(n) / n)[:, None] * np.ones(
+        grid.Sshape
+    )
+    cases = [
+        (jnp.asarray(rough_state(grid)), 100.0, 3e-6),
+        (
+            jnp.asarray(
+                np.stack([9000 + wave, 6162 + 0.7 * wave, 797 + 0.1 * wave])
+            ),
+            1e-3,
+            1e-6,
+        ),
+    ]
+    for u0, scale, tol in cases:
+        u0 = ops.groom(u0)
+        d = jnp.asarray(scale * rng.standard_normal(grid.Vshape))
+        ug = ops.groom(u0 + d)
+        dd = ug - u0
+        ref = np.asarray(ops.rhs(ug, 0.5) - ops.rhs(u0, 0.5))
+        out = np.asarray(k.delta(u0, dd, ug, 0.5))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < tol
+
+
+def test_stage_delta_step_matches_full(ops2d, monkeypatch):
+    """An f64 step with stage-delta evals must match the full-f64-eval
+    step to the mixed-precision envelope."""
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.solvers import make_step_fn
+
+    ps, grid, ops = ops2d
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    t = jnp.asarray(0.0)
+    h = jnp.asarray(1e-3)  # accepted step (see test above)
+
+    step_full, _ = make_step_fn(
+        ops, NumericsOptions(use_pallas=False), atol=0.01, rtol=1e-6
+    )
+    u_ref, e_ref = step_full(u0, t, h)
+    assert float(e_ref) < 1.0
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    step_delta, _ = make_step_fn(
+        ops, NumericsOptions(use_pallas=True), atol=0.01, rtol=1e-6
+    )
+    u_del, e_del = step_delta(u0, t, h)
+    assert u_del.dtype == jnp.float64
+    inc = float(jnp.max(jnp.abs(u_ref - u0)))
+    dev = float(jnp.max(jnp.abs(u_del - u_ref)))
+    assert dev / inc < 1e-5, (dev, inc)
+    assert np.isfinite(float(e_del))
+
+    # opting out restores full evals (identical to the xla path up to
+    # the pallas-W sweep difference already covered above)
+    step_nodelta, _ = make_step_fn(
+        ops, NumericsOptions(use_pallas=True, stage_delta=False),
+        atol=0.01, rtol=1e-6,
+    )
+    u_nd, _ = step_nodelta(u0, t, h)
+    assert float(jnp.max(jnp.abs(u_nd - u_ref))) / inc < 1e-5
+
+
+def test_delta_kernel_clamp_to_floor(ops2d):
+    """Increments that groom-clamp rho to its floor (drho/rho0 == -1
+    in f32) must not produce inf/NaN and must stay accurate — the
+    shifted-state input exists for exactly this."""
+    from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels
+
+    ps, grid, ops = ops2d
+    k = make_pallas_kernels(ops, tile_x=16, interpret=True)
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    rng = np.random.default_rng(4)
+    inc = jnp.asarray(3e4 * rng.standard_normal(grid.Vshape))
+    ug = ops.groom(u0 + inc)  # many points clamp to rhomin/Umin
+    assert float(jnp.min(ug[0])) == ops.rhomin
+    dd = ug - u0
+    ref = np.asarray(ops.rhs(ug, 0.5) - ops.rhs(u0, 0.5))
+    out = np.asarray(k.delta(u0, dd, ug, 0.5))
+    assert np.all(np.isfinite(out))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
