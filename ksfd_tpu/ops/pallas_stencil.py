@@ -92,6 +92,10 @@ def pallas_available(grid, ops=None):
             # (the reference default); the conservative flux form
             # stays on the XLA path
             return False
+        if grid.dim == 3:
+            from .pallas_stencil3d import pallas3d_available
+
+            return pallas3d_available(grid, ops)
         return grid.dim == 2 and (
             jax.devices()[0].platform == "tpu" or _interpret_forced()
         )
@@ -180,7 +184,13 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         mean reductions ride XLA collectives.
     """
     grid = ops.grid
-    assert grid.dim == 2, "pallas RHS kernel is 2D"
+    if grid.dim == 3:
+        from .pallas_stencil3d import make_pallas_kernels_3d
+
+        return make_pallas_kernels_3d(
+            ops, interpret=interpret, mesh=mesh
+        )
+    assert grid.dim == 2, "pallas kernels are 2D/3D"
     interpret = interpret or _interpret_forced()
     nx, ny = grid.Sshape
     n_shards = 1

@@ -103,6 +103,18 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
 
     is_dirk = isinstance(tab, DIRKTableau)
 
+    # When the mixed-precision sweep chain is active the float64
+    # linearization's tangent function is never applied (W comes from
+    # the f32 re-linearization or the Pallas J-action); skip building
+    # it rather than relying on XLA to DCE the linearize residuals.
+    mixed32_static = (
+        not fast32
+        and not use_dense
+        and numerics.ksp_type == "richardson"
+        and (block_pc or precond is not None)
+        and numerics.sweep_dtype in ("float32", "f32")
+    )
+
     def step(u, t, h):
         if fast32:
             u = u.astype(jnp.float32)
@@ -116,6 +128,10 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
             f0 = pallas_rhs(u, t)
             jvp_fn = lambda v: pallas_jvp(u, v, t)
             stage_rhs = pallas_rhs
+        elif mixed32_static:
+            f0 = ops.rhs(u, t)
+            jvp_fn = None
+            stage_rhs = ops.rhs
         else:
             f0, jvp_fn = jax.linearize(lambda uu: ops.rhs(uu, t), u)
             stage_rhs = ops.rhs
@@ -148,7 +164,11 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
             W = Minv = None
         else:
             lu_piv = None
-            W = lambda v: shift * v - jvp_fn(v)
+            W = (
+                (lambda v: shift * v - jvp_fn(v))
+                if jvp_fn is not None
+                else None
+            )
             if block_pc:
                 nf = ops.nligands + 1
                 means = [jnp.mean(u[i]) for i in range(nf)]

@@ -128,3 +128,82 @@ def test_3d_sharded_mixed_sweeps_close():
     u_sharded, _ = distribute(jnp.asarray(u0), grid, shape=(2, 2, 2))
     u_mesh = run(u_sharded)
     np.testing.assert_allclose(u_mesh, u_single, rtol=0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------
+# 3D fused Pallas kernels (interpret mode; see ops/pallas_stencil3d.py)
+# ---------------------------------------------------------------------
+
+def _rough3d(grid, scale=1000.0):
+    rng = np.random.default_rng(0)
+    return np.stack([
+        6000 + 3 * scale * np.abs(rng.standard_normal(grid.Sshape)),
+        6000 + scale * np.abs(rng.standard_normal(grid.Sshape)),
+    ])
+
+
+def test_pallas3d_rhs_jvp_delta(monkeypatch):
+    from ksfd_tpu.ops.pallas_stencil import (
+        make_pallas_kernels,
+        pallas_available,
+    )
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = _problem()
+    assert pallas_available(grid, ops)
+    k = make_pallas_kernels(ops, interpret=True)
+    u = _rough3d(grid)
+    u0 = ops.groom(jnp.asarray(u))
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal(grid.Vshape))
+
+    ref = np.asarray(ops.rhs(u0, 0.5))
+    out = np.asarray(k.rhs(u0.astype(jnp.float32), 0.5))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 5e-4
+
+    jref = np.asarray(ops.jacobian_action(u0, 0.5, v))
+    jout = np.asarray(k.jvp(u0, v, 0.5))
+    assert np.abs(jout - jref).max() / np.abs(jref).max() < 5e-4
+
+    d = jnp.asarray(50.0 * rng.standard_normal(grid.Vshape))
+    ug = ops.groom(u0 + d)
+    dref = np.asarray(ops.rhs(ug, 0.5) - ops.rhs(u0, 0.5))
+    dout = np.asarray(k.delta(u0, ug - u0, ug, 0.5))
+    assert np.abs(dout - dref).max() / np.abs(dref).max() < 3e-6
+
+
+def test_pallas3d_periodic_wrap(monkeypatch):
+    """x/y pads and z rolls must all reproduce periodic wraparound."""
+    from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = _problem()
+    k = make_pallas_kernels(ops, interpret=True)
+    u32 = jnp.asarray(_rough3d(grid), dtype=jnp.float32)
+    out = np.asarray(k.rhs(u32, 0.0))
+    for axis in (1, 2, 3):
+        shifted = jnp.roll(u32, 8, axis=axis)
+        out_s = np.asarray(k.rhs(shifted, 0.0))
+        np.testing.assert_allclose(
+            out_s, np.roll(out, 8, axis=axis),
+            rtol=1e-4, atol=1e-4 * np.abs(out).max(),
+            err_msg="axis %d" % axis,
+        )
+
+
+def test_pallas3d_sharded_matches_single(monkeypatch):
+    from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels
+    from ksfd_tpu.parallel import distribute, grid_mesh
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = _problem()
+    mesh = grid_mesh(grid, shape=(2, 1, 1))
+    k1 = make_pallas_kernels(ops, interpret=True)
+    ks = make_pallas_kernels(ops, interpret=True, mesh=mesh)
+    u = jnp.asarray(_rough3d(grid))
+    u_sh, _ = distribute(u, grid, mesh=mesh)
+    out1 = np.asarray(k1.rhs(u.astype(jnp.float32), 0.5))
+    outs = np.asarray(ks.rhs(u_sh, 0.5))
+    np.testing.assert_allclose(
+        outs, out1, rtol=1e-5, atol=1e-5 * np.abs(out1).max()
+    )
