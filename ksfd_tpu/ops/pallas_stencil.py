@@ -96,8 +96,19 @@ def pallas_available(grid, ops=None):
             from .pallas_stencil3d import pallas3d_available
 
             return pallas3d_available(grid, ops)
-        return grid.dim == 2 and (
-            jax.devices()[0].platform == "tpu" or _interpret_forced()
+        if grid.dim != 2:
+            return False
+        if _interpret_forced():
+            return True
+        # Mosaic constraint on real TPU: ny rides the 128-lane tile
+        # (any DMA slice of a misaligned lane extent is rejected);
+        # x tiles need 8-row alignment.  Small/odd grids take the XLA
+        # path, where they are cheap anyway.
+        nx, ny = (int(n) for n in grid.nps)
+        return (
+            ny % 128 == 0
+            and nx % 8 == 0
+            and jax.devices()[0].platform == "tpu"
         )
     except Exception:
         return False

@@ -84,6 +84,27 @@ def test_pallas_rhs_periodic_wrap(ops2d):
     )
 
 
+def test_pallas_available_lane_alignment(ops2d, monkeypatch):
+    """On real TPU hardware the kernels require ny on the 128-lane
+    tile; misaligned grids (e.g. 64x64 — the driver's entry() shape)
+    must fall back to the XLA path instead of a Mosaic compile error."""
+    import jax as jax_mod
+    from ksfd_tpu.ops import pallas_stencil as pst
+
+    ps, grid, ops = ops2d  # ny = 64
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.delenv("KSFD_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setattr(jax_mod, "devices", lambda: [_Dev()])
+    assert not pst.pallas_available(grid, ops)
+    grid_ok = Grid(
+        dim=2, width=1.0, height=1.0, nx=64, ny=128, dof=3, order=3
+    )
+    assert pst.pallas_available(grid_ok, ops)
+
+
 # ---------------------------------------------------------------------
 # sharded fast path: shard_map + ppermute halo exchange
 # ---------------------------------------------------------------------
