@@ -33,7 +33,7 @@ __all__ = ["make_step_fn", "make_multistep_fn", "Solver"]
 
 
 def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
-                 mesh=None):
+                 mesh=None, chain_f0=False):
     """Build the jitted implicit step: (u, t, h) -> (u1, enorm).
 
     enorm is the PETSc-style weighted local truncation error of the
@@ -44,6 +44,17 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
     mesh: the device mesh the state is sharded over, if any — enables
     the sharded Pallas fast path (shard_map + ppermute halo exchange)
     when the sharding is kernel-compatible (pallas_mesh_ok).
+
+    chain_f0: request the f0-CHAINED variant
+    (u, t, h, f0) -> (u1, enorm, f1) where f0 is the full RHS at
+    (groom(u), t) supplied by the caller and f1 is the RHS at
+    (groom(u1), t + h), advanced by the fused increment kernel instead
+    of a fresh f64 evaluation.  Eligible only on the stage-delta
+    mixed-precision path with no active sources (then the RHS is
+    autonomous: f(u, t) == F(u), so the chained base is exact up to
+    the delta kernel's ~f32-eps-of-increment error per link — the
+    caller bounds accumulation by refreshing f0 per block).  Returns
+    (None, tab) when ineligible so callers can fall back.
     """
     numerics = numerics or NumericsOptions()
     tab = tableau or get_tableau(numerics.ts_type)
@@ -115,7 +126,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
         and numerics.sweep_dtype in ("float32", "f32")
     )
 
-    def step(u, t, h):
+    def _step_core(u, t, h, f0_chained=None):
         if fast32:
             u = u.astype(jnp.float32)
             h = jnp.asarray(h, dtype=jnp.float32)
@@ -129,7 +140,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
             jvp_fn = lambda v: pallas_jvp(u, v, t)
             stage_rhs = pallas_rhs
         elif mixed32_static:
-            f0 = ops.rhs(u, t)
+            f0 = ops.rhs(u, t) if f0_chained is None else f0_chained
             jvp_fn = None
             stage_rhs = ops.rhs
         else:
@@ -298,7 +309,27 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 u1 = u1 + tab.m[j] * Ys[j]
                 uhat = uhat + tab.m2[j] * Ys[j]
         enorm = wlte_norm(u1, uhat, atol, rtol)
+        return u, u1, enorm
+
+    def step(u, t, h):
+        _, u1, enorm = _step_core(u, t, h)
         return u1, enorm
+
+    if chain_f0:
+        if (
+            not mixed32_static
+            or pallas_delta is None
+            or any(ops._source_active)
+        ):
+            return None, tab
+
+        def step_chain(u, t, h, f0):
+            ug, u1, enorm = _step_core(u, t, h, f0_chained=f0)
+            u1g = ops.groom(u1)
+            f1 = f0 + pallas_delta(ug, u1g - ug, u1g, t).astype(f0.dtype)
+            return u1, enorm, f1
+
+        return jax.jit(step_chain), tab
 
     return jax.jit(step), tab
 
@@ -318,6 +349,14 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     step, tab = make_step_fn(
         ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
     )
+    # f0-chained variant (None when ineligible): within a fixed-dt
+    # block every step is taken, so the base RHS can be advanced by
+    # the fused increment kernel; the ONE fresh f64 evaluation per
+    # block bounds the accumulated ~1e-6-of-increment link error.
+    step_chain, _ = make_step_fn(
+        ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh,
+        chain_f0=True,
+    )
 
     fast32 = (numerics or NumericsOptions()).precision in (
         "float32", "f32",
@@ -328,6 +367,21 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
             u = u.astype(jnp.float32)
             t = jnp.asarray(t, dtype=jnp.float32)
             h = jnp.asarray(h, dtype=jnp.float32)
+
+        if step_chain is not None:
+            ug = ops.groom(u)
+            f0 = ops.rhs(ug, t)
+
+            def body_chain(i, carry):
+                u, t, emax, f0 = carry
+                u1, enorm, f1 = step_chain(u, t, h, f0)
+                return (u1, t + h, jnp.maximum(emax, enorm), f1)
+
+            u, t, emax, _ = jax.lax.fori_loop(
+                0, nsteps, body_chain,
+                (ug, t, jnp.zeros_like(jnp.asarray(h)), f0),
+            )
+            return u, t, emax
 
         def body(i, carry):
             u, t, emax = carry

@@ -312,6 +312,42 @@ def test_stage_delta_step_matches_full(ops2d, monkeypatch):
     assert float(jnp.max(jnp.abs(u_nd - u_ref))) / inc < 1e-5
 
 
+def test_multistep_f0_chaining_matches_per_step(ops2d, monkeypatch):
+    """The fused fixed-dt multistep advances the base RHS f0 through
+    the increment kernel (one fresh f64 eval per block); the result
+    must match per-step fresh evaluations to the mixed-precision
+    envelope, accumulated over the block."""
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.solvers import make_multistep_fn
+    from ksfd_tpu.solvers.solver import make_step_fn
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = ops2d
+    numerics = NumericsOptions()
+    # chaining must actually engage
+    sc, _ = make_step_fn(ops, numerics, atol=0.01, rtol=1e-6,
+                         chain_f0=True)
+    assert sc is not None
+
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    h = jnp.asarray(1e-3)
+    n = 6
+
+    multi, _ = make_multistep_fn(ops, numerics, atol=0.01, rtol=1e-6)
+    u_chain, t_chain, emax = multi(u0, jnp.asarray(0.0), h, n)
+    assert float(emax) < 1.0  # all steps accepted territory
+
+    step, _ = make_step_fn(ops, numerics, atol=0.01, rtol=1e-6)
+    u = u0
+    inc_total = 0.0
+    for i in range(n):
+        u_prev = u
+        u, _ = step(u, jnp.asarray(i * 1e-3), h)
+        inc_total += float(jnp.max(jnp.abs(u - u_prev)))
+    dev = float(jnp.max(jnp.abs(np.asarray(u_chain) - np.asarray(u))))
+    assert dev / inc_total < 1e-5, (dev, inc_total)
+
+
 def test_delta_kernel_clamp_to_floor(ops2d):
     """Increments that groom-clamp rho to its floor (drho/rho0 == -1
     in f32) must not produce inf/NaN and must stay accurate — the
