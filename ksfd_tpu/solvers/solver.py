@@ -322,6 +322,17 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
             or any(ops._source_active)
         ):
             return None, tab
+        from types import SimpleNamespace
+
+        def advance_f0(u, u1, f0, t):
+            """f(groom(u1)) from f(groom(u)) via the increment kernel
+            — valid for ANY state pair (also used to re-base after a
+            robust-fallback step)."""
+            ug = ops.groom(u)
+            u1g = ops.groom(u1)
+            return f0 + pallas_delta(ug, u1g - ug, u1g, t).astype(
+                f0.dtype
+            )
 
         def step_chain(u, t, h, f0):
             ug, u1, enorm = _step_core(u, t, h, f0_chained=f0)
@@ -329,7 +340,12 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
             f1 = f0 + pallas_delta(ug, u1g - ug, u1g, t).astype(f0.dtype)
             return u1, enorm, f1
 
-        return jax.jit(step_chain), tab
+        return (
+            SimpleNamespace(
+                step=jax.jit(step_chain), advance=jax.jit(advance_f0)
+            ),
+            tab,
+        )
 
     return jax.jit(step), tab
 
@@ -353,10 +369,11 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     # block every step is taken, so the base RHS can be advanced by
     # the fused increment kernel; the ONE fresh f64 evaluation per
     # block bounds the accumulated ~1e-6-of-increment link error.
-    step_chain, _ = make_step_fn(
+    chain, _ = make_step_fn(
         ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh,
         chain_f0=True,
     )
+    step_chain = chain.step if chain is not None else None
 
     fast32 = (numerics or NumericsOptions()).precision in (
         "float32", "f32",
@@ -438,6 +455,14 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         step_robust, _ = make_step_fn(
             ops, nm, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
         )
+    # f0-chained fast step (None when ineligible): the base RHS at the
+    # current state is h-independent, so it survives rejections
+    # unchanged and only advances (via the increment kernel) on
+    # accepts; one fresh f64 evaluation per chunk bounds accumulation.
+    chain, _ = make_step_fn(
+        ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh,
+        chain_f0=True,
+    )
     n = numerics
     expo = -1.0 / (tab.order + 1)
 
@@ -447,7 +472,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         max_accepts = jnp.asarray(max_accepts, dtype=jnp.int32)
 
         def cond(c):
-            u, t, h, k, fails, attempts = c
+            u, t, h, f0, k, fails, attempts = c
             return (
                 (attempts < max_attempts)
                 & (k < max_accepts)
@@ -457,16 +482,30 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
             )
 
         def body(c):
-            u, t, h, k, fails, attempts = c
-            u1, enorm = step(u, t, h)
+            u, t, h, f0, k, fails, attempts = c
+            if chain is not None:
+                u1, enorm, f1 = chain.step(u, t, h, f0)
+            else:
+                u1, enorm = step(u, t, h)
+                f1 = f0
             ok = jnp.isfinite(enorm) & (enorm <= 1.0)
             if step_robust is not None:
                 # executed only when the fast attempt was rejected
-                u1, enorm = jax.lax.cond(
-                    ok,
-                    lambda uu, tt, hh, r1, e1: (r1, e1),
-                    lambda uu, tt, hh, r1, e1: step_robust(uu, tt, hh),
-                    u, t, h, u1, enorm,
+
+                def _keep(uu, tt, hh, ff0, r1, e1, ff1):
+                    return (r1, e1, ff1)
+
+                def _robust(uu, tt, hh, ff0, r1, e1, ff1):
+                    ur, er = step_robust(uu, tt, hh)
+                    fr = (
+                        chain.advance(uu, ur, ff0, tt)
+                        if chain is not None
+                        else ff0
+                    )
+                    return (ur, er, fr)
+
+                u1, enorm, f1 = jax.lax.cond(
+                    ok, _keep, _robust, u, t, h, f0, u1, enorm, f1
                 )
                 ok = jnp.isfinite(enorm) & (enorm <= 1.0)
             hfac = n.safety * jnp.power(
@@ -485,15 +524,23 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 n.dt_min,
             )
             u = jnp.where(ok, u1, u)
+            # rejected attempts leave u unchanged, so the base RHS f0
+            # stays valid; a NaN f1 from a diverged attempt is
+            # discarded here the same way u1 is
+            f0 = jnp.where(ok, f1, f0)
             t = jnp.where(ok, t + h, t)
             h = jnp.where(ok, h_acc, h_rej)
             k = k + ok.astype(k.dtype)
             fails = jnp.where(ok, 0, fails + 1)
-            return (u, t, h, k, fails, attempts + 1)
+            return (u, t, h, f0, k, fails, attempts + 1)
 
+        if chain is not None:
+            f0 = ops.rhs(ops.groom(u), t)
+        else:
+            f0 = jnp.zeros((), dtype=t.dtype)  # unused carry slot
         zero = jnp.asarray(0, dtype=jnp.int32)
-        u, t, h, k, fails, attempts = jax.lax.while_loop(
-            cond, body, (u, t, h, zero, zero, zero)
+        u, t, h, f0, k, fails, attempts = jax.lax.while_loop(
+            cond, body, (u, t, h, f0, zero, zero, zero)
         )
         return u, t, h, k, attempts
 

@@ -348,6 +348,41 @@ def test_multistep_f0_chaining_matches_per_step(ops2d, monkeypatch):
     assert dev / inc_total < 1e-5, (dev, inc_total)
 
 
+def test_adaptive_chunk_f0_chaining(ops2d, monkeypatch):
+    """The fused adaptive chunk carries the chained base RHS across
+    accept/reject; its trajectory must match the unchained chunk."""
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.solvers.solver import (
+        make_adaptive_chunk_fn,
+        make_step_fn,
+    )
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = ops2d
+    assert make_step_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6, chain_f0=True
+    )[0] is not None
+
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    args = (u0, jnp.asarray(0.0), jnp.asarray(1e-3), 1e9, 6)
+
+    chunk_c, _ = make_adaptive_chunk_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6
+    )
+    uc, tc, hc, kc, ac = chunk_c(*args)
+    chunk_p, _ = make_adaptive_chunk_fn(
+        ops, NumericsOptions(use_pallas=False), atol=0.01, rtol=1e-6
+    )
+    up, tp, hp, kp, ap = chunk_p(*args)
+    assert int(kc) == int(kp) and int(ac) == int(ap)
+    # adaptive h amplifies the pallas-vs-XLA sweep representation
+    # difference into slightly different accepted h's; the step
+    # SEQUENCE must agree, t to ~0.1%
+    assert abs(float(tc) - float(tp)) / float(tp) < 1e-3
+    inc = float(jnp.max(jnp.abs(up - u0)))
+    assert float(jnp.max(jnp.abs(uc - up))) / inc < 1e-4
+
+
 def test_delta_kernel_clamp_to_floor(ops2d):
     """Increments that groom-clamp rho to its floor (drho/rho0 == -1
     in f32) must not produce inf/NaN and must stay accurate — the
