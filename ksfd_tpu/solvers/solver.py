@@ -233,11 +233,16 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
             if use_dense:
                 return dense_solve(lu_piv, bi)
             if mixed32:
-                y32 = richardson_solve(
+                # returned in f32 STORAGE: the sweeps carry only f32
+                # information, so stage increments are held as f32
+                # arrays (half the HBM traffic of the combination
+                # passes) and upcast at their f64 use sites — XLA
+                # fuses the converts, and deferring the cast is
+                # mathematically the identity
+                return richardson_solve(
                     W32, bi.astype(jnp.float32), M=Minv,
                     iters=numerics.ksp_iters,
                 )
-                return y32.astype(bi.dtype)
             if numerics.ksp_type == "gmres_scipy":
                 return gmres_solve(
                     W,
@@ -280,7 +285,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 fUi = stage_eval(Ui, ti)
                 for _ in range(newton_iters):
                     res = Ui - (h * tab.gamma) * fUi - r
-                    Ui = Ui - shift * solve(res)
+                    Ui = Ui - shift * solve(res).astype(u.dtype)
                     fUi = stage_eval(Ui, ti)
                 fs.append(fUi)
             u1 = u
@@ -290,24 +295,25 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 uhat = uhat + (h * tab.bhat[j]) * fs[j]
         else:
             Ys = []
+            _up = lambda y: y.astype(u.dtype)
             for i in range(tab.stages):
                 Ui = u
                 for j in range(i):
                     if tab.a[i][j]:
-                        Ui = Ui + tab.a[i][j] * Ys[j]
+                        Ui = Ui + tab.a[i][j] * _up(Ys[j])
                 if i == 0 and tab.alpha[0] == 0.0:
                     bi = f0
                 else:
                     bi = stage_eval(Ui, t + tab.alpha[i] * h)
                 for j in range(i):
                     if tab.c[i][j]:
-                        bi = bi + (tab.c[i][j] / h) * Ys[j]
+                        bi = bi + (tab.c[i][j] / h) * _up(Ys[j])
                 Ys.append(solve(bi))
             u1 = u
             uhat = u
             for j in range(tab.stages):
-                u1 = u1 + tab.m[j] * Ys[j]
-                uhat = uhat + tab.m2[j] * Ys[j]
+                u1 = u1 + tab.m[j] * _up(Ys[j])
+                uhat = uhat + tab.m2[j] * _up(Ys[j])
         enorm = wlte_norm(u1, uhat, atol, rtol)
         return u, u1, enorm
 

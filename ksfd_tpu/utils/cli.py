@@ -123,7 +123,10 @@ class NumericsOptions:
     ksp_max_it: int = 50
     ksp_rtol: float = 1e-8
     ksp_restart: int = 20
-    ksp_iters: int = 4            # sweeps / Krylov dim of fixed solvers
+    ksp_iters: int = 3            # sweeps / Krylov dim of fixed solvers
+                                  # (3 measured equivalent to 4 on all
+                                  # gates: options92/93, 256^2 TPU ramp
+                                  # failure counts — see docs/PERF.md)
                                   # (block pc: 4 sweeps match 16 to
                                   # 1e-11 over chained 1024^2 steps;
                                   # hard states escalate to the GMRES
