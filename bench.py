@@ -4,11 +4,13 @@
 Workload: the options84-class 2D problem (worm density + attractant +
 repellent ligand groups, periodic, degree-3 stencils) at nx=ny=1024,
 3 dofs = 3.1M DOF, float64 state.  One "update" = one full implicit
-Rosenbrock-W (ROS34PW2) step: 4 stages, Jacobian linearization,
-spectrally block-preconditioned Richardson stage solves (matrix-free
-GMRES is the rejection fallback), embedded error estimate — the same
-work the reference does per PETSc TSStep with analytic-Jacobian
-assembly + MUMPS LU.
+Rosenbrock-W (ROS34PW2) step: 4 stages, spectrally block-
+preconditioned mixed-precision Richardson stage solves over the fused
+Pallas J-action/residual kernels (matrix-free GMRES is the rejection
+fallback), stage RHS increments and the block-chained base RHS via
+the fused delta kernel, embedded error estimate — the same work the
+reference does per PETSc TSStep with analytic-Jacobian assembly +
+MUMPS LU.
 
 Measurement discipline (CLAUDE.md "Environment gotchas"): the axon
 TPU tunnel (a) pipelines/dedupes repeated identical executions, (b)

@@ -289,19 +289,9 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
             )
             o_ref[1 + l, :, :] = dU
 
-    def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
-        i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            u_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], slab, sem
-        )
-        cp.start()
-        cpv = pltpu.make_async_copy(
-            v_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], vslab, vsem
-        )
-        cpv.start()
-        cp.wait()
-        cpv.wait()
-        t = t_ref[0]
+    def _jvp_rows(t, slab, vslab):
+        """The J-action rows on the tile interior (shared by the jvp
+        and fused-residual kernels)."""
         fields = groom_slab(slab[:])
         rho, Us = fields[0], fields[1:]
         # clamp derivative: tangent zeroed where the clamp is active
@@ -319,20 +309,60 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         c_vrho = vrho[halo : halo + tx, :]
         # delta(drho) = grad(v_rho).grad(G) + grad(rho).grad(dG)
         #             + v_rho*lap(G) + rho*lap(dG)
-        ddrho = (
+        rows = [
             graddot(vrho, G)
             + graddot(rho, dG)
             + c_vrho * lap(G)
             + c_rho * lap(dG)
-        )
-        o_ref[0, :, :] = ddrho
+        ]
         for l in range(dof - 1):
-            dU = (
+            rows.append(
                 -lig[l]["gamma"](t) * vUs[l][halo : halo + tx, :]
                 + lig[l]["s"](t) * c_vrho
                 + lig[l]["D"](t) * lap(vUs[l])
             )
-            o_ref[1 + l, :, :] = dU
+        return rows
+
+    def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            u_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], slab, sem
+        )
+        cp.start()
+        cpv = pltpu.make_async_copy(
+            v_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], vslab, vsem
+        )
+        cpv.start()
+        cp.wait()
+        cpv.wait()
+        rows = _jvp_rows(t_ref[0], slab, vslab)
+        for f in range(dof):
+            o_ref[f, :, :] = rows[f]
+
+    def resid_kernel(
+        sc_ref, u_ref, v_ref, b_ref, o_ref, slab, vslab, sem, vsem
+    ):
+        # fused Richardson residual r = b - (shift*v - J v): saves the
+        # separate elementwise axpy pass per sweep.  sc = [t, shift].
+        # b arrives as an auto-blocked VMEM tile (no halo needed); the
+        # shift term uses the RAW tangent (W = shift*I - J with the
+        # clamp zeroing J's rows only).
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            u_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], slab, sem
+        )
+        cp.start()
+        cpv = pltpu.make_async_copy(
+            v_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], vslab, vsem
+        )
+        cpv.start()
+        cp.wait()
+        cpv.wait()
+        shift = sc_ref[1]
+        rows = _jvp_rows(sc_ref[0], slab, vslab)
+        for f in range(dof):
+            v_c = vslab[f][halo : halo + tx, :]
+            o_ref[f, :, :] = b_ref[f, :, :] - shift * v_c + rows[f]
 
     G_delta_fn = getattr(ops, "_G_delta_fn", None)
 
@@ -463,6 +493,35 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
             interpret=interpret,
         )(tarr, pad_x(u32), pad_x(v32))
 
+    grid_spec_resid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
+            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def resid_local(sc, u32, v32, b32):
+        return pl.pallas_call(
+            resid_kernel, out_shape=out_shape, grid_spec=grid_spec_resid,
+            interpret=interpret,
+        )(sc, pad_x(u32), pad_x(v32), b32)
+
     grid_spec_delta = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -494,6 +553,7 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
     rhs_sharded = shardwrap(rhs_local, 1)
     jvp_sharded = shardwrap(jvp_local, 2)
     delta_sharded = shardwrap(delta_local, 3)
+    resid_sharded = shardwrap(resid_local, 3)
 
     @jax.jit
     def rhs_fn(u, t):
@@ -524,6 +584,17 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         tarr = jnp.asarray([t], dtype=jnp.float32)
         return jvp_sharded(tarr, u, v)
 
+    @jax.jit
+    def resid_fn(u, v, b, t, shift):
+        """Fused Richardson residual b - (shift*v - J(u) v)."""
+        sc = jnp.asarray([t, shift], dtype=jnp.float32)
+        return resid_sharded(
+            sc,
+            u.astype(jnp.float32),
+            v.astype(jnp.float32),
+            b.astype(jnp.float32),
+        )
+
     delta_fn = None
     if G_delta_fn is not None:
 
@@ -546,4 +617,6 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
 
     from types import SimpleNamespace
 
-    return SimpleNamespace(rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn)
+    return SimpleNamespace(
+        rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn, resid=resid_fn
+    )

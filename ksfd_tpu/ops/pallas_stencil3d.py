@@ -212,13 +212,8 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
                 + lig[l]["D"](t) * lap(Uc)
             )
 
-    def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
-        i = pl.program_id(0)
-        cp = _copy_in(u_ref, slab, sem, i)
-        cpv = _copy_in(v_ref, vslab, vsem, i)
-        cp.wait()
-        cpv.wait()
-        t = t_ref[0]
+    def _jvp_rows(t, slab, vslab):
+        """J-action rows on the tile interior (shared by jvp/resid)."""
         fields = groom_slab(slab[:])
         rho, Us = fields[0], fields[1:]
         vrho = jnp.where(slab[0] > rhomin, vslab[0], 0.0)
@@ -231,18 +226,45 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
         dG = dGs[0] * vrho
         for l in range(dof - 1):
             dG = dG + dGs[1 + l] * vUs[l]
-        o_ref[0, :, :] = (
+        rows = [
             graddot(vrho, G)
             + graddot(rho, dG)
             + vrho[ix, :] * lap(G)
             + rho[ix, :] * lap(dG)
-        )
+        ]
         for l in range(dof - 1):
-            o_ref[1 + l, :, :] = (
+            rows.append(
                 -lig[l]["gamma"](t) * vUs[l][ix, :]
                 + lig[l]["s"](t) * vrho[ix, :]
                 + lig[l]["D"](t) * lap(vUs[l])
             )
+        return rows
+
+    def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
+        i = pl.program_id(0)
+        cp = _copy_in(u_ref, slab, sem, i)
+        cpv = _copy_in(v_ref, vslab, vsem, i)
+        cp.wait()
+        cpv.wait()
+        rows = _jvp_rows(t_ref[0], slab, vslab)
+        for f in range(dof):
+            o_ref[f, :, :] = rows[f]
+
+    def resid_kernel(
+        sc_ref, u_ref, v_ref, b_ref, o_ref, slab, vslab, sem, vsem
+    ):
+        # fused Richardson residual (see the 2D resid_kernel);
+        # sc = [t, shift]; b is an auto-blocked VMEM tile
+        i = pl.program_id(0)
+        cp = _copy_in(u_ref, slab, sem, i)
+        cpv = _copy_in(v_ref, vslab, vsem, i)
+        cp.wait()
+        cpv.wait()
+        shift = sc_ref[1]
+        rows = _jvp_rows(sc_ref[0], slab, vslab)
+        for f in range(dof):
+            v_c = vslab[f][ix, :]
+            o_ref[f, :, :] = b_ref[f, :, :] - shift * v_c + rows[f]
 
     def delta_kernel(
         sc_ref, u_ref, d_ref, s_ref, o_ref, slab, dslab, sslab,
@@ -352,9 +374,32 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
         )(sc, pad_x(_fold(u32)), pad_x(_fold(d32)), pad_x(_fold(s32)))
         return _unfold(out)
 
+    grid_spec_resid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (dof, tx, L), lambda i, t: (i * 0, i, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[slab_t] * 2 + [pltpu.SemaphoreType.DMA] * 2,
+    )
+
+    def resid_local(sc, u32, v32, b32):
+        out = pl.pallas_call(
+            resid_kernel, out_shape=out_shape,
+            grid_spec=grid_spec_resid, interpret=interpret,
+        )(sc, pad_x(_fold(u32)), pad_x(_fold(v32)), _fold(b32))
+        return _unfold(out)
+
     rhs_sharded = shardwrap(rhs_local, 1)
     jvp_sharded = shardwrap(jvp_local, 2)
     delta_sharded = shardwrap(delta_local, 3)
+    resid_sharded = shardwrap(resid_local, 3)
 
     @jax.jit
     def rhs_fn(u, t):
@@ -379,6 +424,17 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
             tarr, u.astype(jnp.float32), v.astype(jnp.float32)
         )
 
+    @jax.jit
+    def resid_fn(u, v, b, t, shift):
+        """Fused Richardson residual b - (shift*v - J(u) v)."""
+        sc = jnp.asarray([t, shift], dtype=jnp.float32)
+        return resid_sharded(
+            sc,
+            u.astype(jnp.float32),
+            v.astype(jnp.float32),
+            b.astype(jnp.float32),
+        )
+
     delta_fn = None
     if G_delta_fn is not None:
 
@@ -396,4 +452,6 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
                 u1.astype(jnp.float32),
             )
 
-    return SimpleNamespace(rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn)
+    return SimpleNamespace(
+        rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn, resid=resid_fn
+    )

@@ -18,7 +18,12 @@ space K_m(M^{-1}W, M^{-1}b).
 
 import jax.numpy as jnp
 
-__all__ = ["gmres_fixed", "gmres_restarted", "richardson_solve"]
+__all__ = [
+    "gmres_fixed",
+    "gmres_restarted",
+    "richardson_solve",
+    "richardson_solve_resid",
+]
 
 
 def gmres_restarted(op, b, M=None, iters=8, restarts=3):
@@ -59,6 +64,20 @@ def richardson_solve(op, b, M, iters=12, x0=None):
 
     def body(j, x):
         return x + M(b - op(x))
+
+    return jax.lax.fori_loop(0, int(iters) - 1, body, x)
+
+
+def richardson_solve_resid(resid, b, M, iters=12):
+    """richardson_solve with a FUSED residual callable
+    resid(x, b) = b - W x (e.g. the Pallas resid kernel): saves the
+    separate elementwise b - op(x) pass each sweep."""
+    import jax
+
+    x = M(b)
+
+    def body(j, x):
+        return x + M(resid(x, b))
 
     return jax.lax.fori_loop(0, int(iters) - 1, body, x)
 

@@ -24,7 +24,12 @@ from .linalg import (
     dense_solve_factory,
     gmres_solve,
 )
-from .gmres import gmres_fixed, gmres_restarted, richardson_solve
+from .gmres import (
+    gmres_fixed,
+    gmres_restarted,
+    richardson_solve,
+    richardson_solve_resid,
+)
 from .steppers import DIRKTableau, get_tableau, wlte_norm
 
 logTS = logger("TS")
@@ -85,7 +90,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
     # just removes HBM traffic).
     fast32 = numerics.precision in ("float32", "f32") and not use_dense
     sweep32 = numerics.sweep_dtype in ("float32", "f32")
-    pallas_rhs = pallas_jvp = pallas_delta = None
+    pallas_rhs = pallas_jvp = pallas_delta = pallas_resid = None
     if numerics.use_pallas and not use_dense:
         from ..ops.pallas_stencil import (
             make_pallas_kernels,
@@ -98,6 +103,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
         ):
             kern = make_pallas_kernels(ops, mesh=mesh)
             pallas_jvp = kern.jvp
+            pallas_resid = getattr(kern, "resid", None)
             if fast32:
                 pallas_rhs = kern.rhs
             elif (
@@ -217,11 +223,18 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
         if mixed32:
             t32 = jnp.asarray(t, dtype=jnp.float32)
             shift32 = jnp.asarray(shift, dtype=jnp.float32)
+            resid32 = None
             if pallas_jvp is not None:
                 # fused halo-stencil J-action kernel: one HBM pass per
                 # W apply instead of the XLA re-linearization's many
                 u32 = u.astype(jnp.float32)
                 W32 = lambda v: shift32 * v - pallas_jvp(u32, v, t32)
+                if pallas_resid is not None:
+                    # fully fused residual b - W x: saves the separate
+                    # elementwise axpy pass every sweep
+                    resid32 = lambda x, b: pallas_resid(
+                        u32, x, b, t32, shift32
+                    )
             else:
                 _, jvp32 = jax.linearize(
                     lambda uu: ops.rhs(uu, t32), u.astype(jnp.float32)
@@ -239,6 +252,11 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 # passes) and upcast at their f64 use sites — XLA
                 # fuses the converts, and deferring the cast is
                 # mathematically the identity
+                if resid32 is not None:
+                    return richardson_solve_resid(
+                        resid32, bi.astype(jnp.float32), M=Minv,
+                        iters=numerics.ksp_iters,
+                    )
                 return richardson_solve(
                     W32, bi.astype(jnp.float32), M=Minv,
                     iters=numerics.ksp_iters,
@@ -431,40 +449,28 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
 
     Where the reference's adaptivity lives in PETSc TSAdapt C callbacks
     driven per step from the host, this compiles the whole
-    attempt/accept/reject/h-update cycle into the device program:
-    fn(u, t, h, tmax) -> (u, t, h, n_accepted, n_attempts).  Runs until
-    max_attempts step attempts, t > tmax, or h < dt_min.  The Solver
-    calls it in chunks so monitors still fire at chunk boundaries;
-    noise injection and CFL clamping stay on the host path (the Solver
+    attempt/accept/h-update cycle into the device program:
+    fn(u, t, h, tmax) -> (u, t, h, n_accepted, n_attempts, rejected).
+    Runs until max_attempts step attempts, t > tmax, or a step is
+    REJECTED — the chunk then exits with rejected=1 and h still at the
+    attempted value, and the Solver retries that h with the robust
+    GMRES solver on the HOST before re-entering the chunk.  (The
+    earlier design ran the robust retry inside the chunk under
+    lax.cond; the nested rolled-Krylov-in-cond-in-while program
+    reproducibly crashes the TPU runtime at 384^2 — worker process
+    death, not a Python error — so the escalation now lives host-side
+    where the same solver runs fine as its own executable.)  Noise
+    injection and CFL clamping also stay on the host path (the Solver
     auto-disables the fused loop when those are active).
     """
     numerics = numerics or NumericsOptions()
     step, tab = make_step_fn(
         ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
     )
-    # the robust retry (same escalation as the host loop's fallback):
-    # when the fast stage solver's step is rejected, the SAME h is
-    # retried with GMRES over the same preconditioner before shrinking
-    step_robust = None
-    if numerics.ksp_type == "richardson":
-        import dataclasses
-
-        # rolled-loop GMRES: small graph (the unrolled variants
-        # trigger multi-minute XLA:TPU compile scheduling), higher
-        # per-call cost — the right tradeoff for a rarely-taken retry
-        # full f64 stage evals: the retry must not share the fast
-        # path's mixed-precision approximations
-        nm = dataclasses.replace(
-            numerics, ksp_type="gmres_scipy",
-            ksp_restart=12, ksp_max_it=4, stage_delta=False,
-        )
-        step_robust, _ = make_step_fn(
-            ops, nm, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
-        )
     # f0-chained fast step (None when ineligible): the base RHS at the
-    # current state is h-independent, so it survives rejections
-    # unchanged and only advances (via the increment kernel) on
-    # accepts; one fresh f64 evaluation per chunk bounds accumulation.
+    # current state is h-independent and only advances (via the
+    # increment kernel) on accepts; one fresh f64 evaluation per chunk
+    # bounds accumulation.
     chain, _ = make_step_fn(
         ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh,
         chain_f0=True,
@@ -483,8 +489,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 (attempts < max_attempts)
                 & (k < max_accepts)
                 & (t <= tmax)
-                & (h >= n.dt_min)
-                & (fails <= n.max_snes_failures)
+                & (fails == 0)
             )
 
         def body(c):
@@ -495,25 +500,6 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 u1, enorm = step(u, t, h)
                 f1 = f0
             ok = jnp.isfinite(enorm) & (enorm <= 1.0)
-            if step_robust is not None:
-                # executed only when the fast attempt was rejected
-
-                def _keep(uu, tt, hh, ff0, r1, e1, ff1):
-                    return (r1, e1, ff1)
-
-                def _robust(uu, tt, hh, ff0, r1, e1, ff1):
-                    ur, er = step_robust(uu, tt, hh)
-                    fr = (
-                        chain.advance(uu, ur, ff0, tt)
-                        if chain is not None
-                        else ff0
-                    )
-                    return (ur, er, fr)
-
-                u1, enorm, f1 = jax.lax.cond(
-                    ok, _keep, _robust, u, t, h, f0, u1, enorm, f1
-                )
-                ok = jnp.isfinite(enorm) & (enorm <= 1.0)
             hfac = n.safety * jnp.power(
                 jnp.maximum(enorm, 1e-300), expo
             )
@@ -521,21 +507,13 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 h * jnp.clip(hfac, n.clip_low, n.clip_high),
                 n.dt_min, n.dt_max,
             )
-            h_rej = jnp.maximum(
-                h * jnp.where(
-                    jnp.isfinite(enorm),
-                    jnp.clip(hfac, n.clip_low, 0.9),
-                    n.rollback_factor,
-                ),
-                n.dt_min,
-            )
             u = jnp.where(ok, u1, u)
-            # rejected attempts leave u unchanged, so the base RHS f0
-            # stays valid; a NaN f1 from a diverged attempt is
-            # discarded here the same way u1 is
+            # rejected attempts leave u unchanged (so the base RHS f0
+            # stays valid) and h UNTOUCHED: the host retries the same
+            # h with the robust solver, then shrinks if that fails too
             f0 = jnp.where(ok, f1, f0)
             t = jnp.where(ok, t + h, t)
-            h = jnp.where(ok, h_acc, h_rej)
+            h = jnp.where(ok, h_acc, h)
             k = k + ok.astype(k.dtype)
             fails = jnp.where(ok, 0, fails + 1)
             return (u, t, h, f0, k, fails, attempts + 1)
@@ -548,7 +526,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         u, t, h, f0, k, fails, attempts = jax.lax.while_loop(
             cond, body, (u, t, h, f0, zero, zero, zero)
         )
-        return u, t, h, k, attempts
+        return u, t, h, k, attempts, fails > 0
 
     return jax.jit(chunk), tab
 
@@ -612,6 +590,8 @@ class Solver:
         self._fallback_fn = None
         self._fb_mode = False
         self._fb_accepts = 0
+        self._fb_probe = 64  # accepts between fast-path re-probes
+        self._chunk_rej_streak = 0
         if self.numerics.ksp_type == "banded":
             from .banded_path import make_banded_step
 
@@ -866,16 +846,19 @@ class Solver:
             and h >= self.hmin
         ):
             self.k, self.t, self.h = k, t, h
-            if self._chunk is not None:
-                u1, tnew, hnew, kacc, attempts = self._chunk(
+            if self._chunk is not None and not self._fb_mode:
+                u1, tnew, hnew, kacc, attempts, rej = self._chunk(
                     u, t, h, self.tmax, self.maxsteps - k
                 )
                 kacc, attempts = int(kacc), int(attempts)
-                self.snes_failures += attempts - kacc
+                rej = bool(rej)
                 if n.monitor:
                     print(
                         "  TSAdapt chunk: %d accepted / %d attempts, "
-                        "h %.3g -> %.3g" % (kacc, attempts, h, float(hnew)),
+                        "h %.3g -> %.3g%s" % (
+                            kacc, attempts, h, float(hnew),
+                            " (rejected; host retry)" if rej else "",
+                        ),
                         flush=True,
                     )
                 h = float(hnew)
@@ -891,13 +874,28 @@ class Solver:
                     self.CFL_check(u, t)
                     h = self.h
                     self.monitor(k, t, u)
-                    continue
-                # whole chunk made no progress (h collapsed or solver
-                # diverging even after in-chunk robust retries)
-                consecutive_failures += attempts
-                if consecutive_failures > n.max_snes_failures:
-                    self.diverged = True
-                    break
+                if rej:
+                    # the fast solver rejected at this h: retry it on
+                    # the HOST through the robust-fallback path (the
+                    # in-chunk nested-Krylov retry crashed the TPU
+                    # runtime; see the chunk builder's docstring).
+                    # The probe length doubles on every immediate
+                    # re-rejection, so a persistently-marginal stiff
+                    # phase settles into fallback stepping (like the
+                    # host path's 64-accept hysteresis) instead of
+                    # paying a wasted chunk dispatch per step.
+                    if kacc == 0:
+                        self._chunk_rej_streak += 1
+                    else:
+                        self._chunk_rej_streak = 0
+                    self._fb_mode = True
+                    self._fb_accepts = 0
+                    self._fb_probe = min(
+                        64, 1 << self._chunk_rej_streak
+                    )
+                    logTS("chunk rejected; host fallback retry at h", h)
+                else:
+                    self._chunk_rej_streak = 0
                 continue
             nblk = 1
             if self._multi is not None:
@@ -928,6 +926,7 @@ class Solver:
                     u1, enorm, finite, rejected = u1b, enormb, True, False
                     self._fb_mode = True
                     self._fb_accepts = 0
+                    self._fb_probe = 64
                     logTS("fallback solver engaged at h", h)
             if rejected:
                 self.snes_failures += 1
@@ -945,11 +944,15 @@ class Solver:
                         flush=True,
                     )
                 h = hnew
+                if self._fb_mode and self._fb_probe == 1:
+                    # one-shot chunk-rejection retry failed too: shrink
+                    # and hand the smaller h back to the fused loop
+                    self._fb_mode = False
                 continue
             consecutive_failures = 0
             if self._fb_mode:
                 self._fb_accepts += 1
-                if self._fb_accepts % 64 == 0:
+                if self._fb_accepts % self._fb_probe == 0:
                     self._fb_mode = False  # probe the fast path again
             k += nblk
             t = t + nblk * h

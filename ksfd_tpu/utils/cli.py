@@ -280,6 +280,9 @@ def decode_numerics(tokens, petsc_tokens=()):
         elif key == "device_loop":
             val, i = take_value(i)
             opts.device_loop = str(val) not in ("0", "false", "False")
+        elif key == "use_pallas":
+            val, i = take_value(i)
+            opts.use_pallas = str(val) not in ("0", "false", "False")
         elif key == "stage_delta":
             val, i = take_value(i)
             opts.stage_delta = str(val) not in ("0", "false", "False")

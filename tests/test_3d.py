@@ -172,6 +172,22 @@ def test_pallas3d_rhs_jvp_delta(monkeypatch):
     assert np.abs(dout - dref).max() / np.abs(dref).max() < 3e-6
 
 
+def test_pallas3d_resid_matches_composition(monkeypatch):
+    from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = _problem()
+    k = make_pallas_kernels(ops, interpret=True)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(_rough3d(grid), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal(grid.Vshape), dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(grid.Vshape), dtype=jnp.float32)
+    shift = 7.5
+    ref = np.asarray(b - (shift * v - k.jvp(u, v, 0.5)))
+    out = np.asarray(k.resid(u, v, b, 0.5, shift))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
 def test_pallas3d_periodic_wrap(monkeypatch):
     """x/y pads and z rolls must all reproduce periodic wraparound."""
     from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels

@@ -348,6 +348,23 @@ def test_multistep_f0_chaining_matches_per_step(ops2d, monkeypatch):
     assert dev / inc_total < 1e-5, (dev, inc_total)
 
 
+def test_resid_kernel_matches_composition(ops2d):
+    """resid(u, v, b, t, shift) == b - (shift*v - jvp(u, v, t))."""
+    from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels
+
+    ps, grid, ops = ops2d
+    k = make_pallas_kernels(ops, tile_x=16, interpret=True)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rough_state(grid), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal(grid.Vshape), dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(grid.Vshape), dtype=jnp.float32)
+    shift = 7.5
+    ref = np.asarray(b - (shift * v - k.jvp(u, v, 0.5)))
+    out = np.asarray(k.resid(u, v, b, 0.5, shift))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 1e-5
+
+
 def test_adaptive_chunk_f0_chaining(ops2d, monkeypatch):
     """The fused adaptive chunk carries the chained base RHS across
     accept/reject; its trajectory must match the unchained chunk."""
@@ -369,11 +386,11 @@ def test_adaptive_chunk_f0_chaining(ops2d, monkeypatch):
     chunk_c, _ = make_adaptive_chunk_fn(
         ops, NumericsOptions(), atol=0.01, rtol=1e-6
     )
-    uc, tc, hc, kc, ac = chunk_c(*args)
+    uc, tc, hc, kc, ac, _rc = chunk_c(*args)
     chunk_p, _ = make_adaptive_chunk_fn(
         ops, NumericsOptions(use_pallas=False), atol=0.01, rtol=1e-6
     )
-    up, tp, hp, kp, ap = chunk_p(*args)
+    up, tp, hp, kp, ap, _rp = chunk_p(*args)
     assert int(kc) == int(kp) and int(ac) == int(ap)
     # adaptive h amplifies the pallas-vs-XLA sweep representation
     # difference into slightly different accepted h's; the step
