@@ -443,7 +443,8 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
 
 
 def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
-                           tableau=None, max_attempts=64, mesh=None):
+                           tableau=None, max_attempts=64, mesh=None,
+                           max_rejects=3):
     """Fused ADAPTIVE integrator chunk: accept/reject control flow on
     device (lax.while_loop), no host round-trips between steps.
 
@@ -451,17 +452,27 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     driven per step from the host, this compiles the whole
     attempt/accept/h-update cycle into the device program:
     fn(u, t, h, tmax) -> (u, t, h, n_accepted, n_attempts, rejected).
-    Runs until max_attempts step attempts, t > tmax, or a step is
-    REJECTED — the chunk then exits with rejected=1 and h still at the
-    attempted value, and the Solver retries that h with the robust
-    GMRES solver on the HOST before re-entering the chunk.  (The
-    earlier design ran the robust retry inside the chunk under
-    lax.cond; the nested rolled-Krylov-in-cond-in-while program
-    reproducibly crashes the TPU runtime at 384^2 — worker process
-    death, not a Python error — so the escalation now lives host-side
-    where the same solver runs fine as its own executable.)  Noise
-    injection and CFL clamping also stay on the host path (the Solver
-    auto-disables the fused loop when those are active).
+    Runs until max_attempts step attempts, t > tmax, or the step
+    solver gets STUCK.  A finite-enorm rejection is handled ON DEVICE
+    exactly like the host controller's (shrink h by the embedded-error
+    formula, retry) — rejections are a normal part of adaptive
+    stepping, and a fast-path attempt costs ~1000x less than a host
+    robust step, so exiting on the first one (the earlier design)
+    parked stiff aggregated phases permanently on the slow host
+    fallback when simply stepping at a smaller h was cheaper (the
+    hexagons2d rough phase; docs/HANDOFF_r2.md).  The chunk exits with
+    rejected=1 only when the fast solver is genuinely stuck:
+    max_rejects CONSECUTIVE rejections (each at an h already shrunk
+    ~3-10x from the last) or a non-finite enorm.  The Solver then
+    retries that h with the robust GMRES solver on the HOST before
+    re-entering the chunk.  (The even-earlier design ran the robust
+    retry inside the chunk under lax.cond; the nested
+    rolled-Krylov-in-cond-in-while program reproducibly crashes the
+    TPU runtime at 384^2 — worker process death, not a Python error —
+    so the escalation lives host-side where the same solver runs fine
+    as its own executable.)  Noise injection and CFL clamping also
+    stay on the host path (the Solver auto-disables the fused loop
+    when those are active).
     """
     numerics = numerics or NumericsOptions()
     step, tab = make_step_fn(
@@ -489,7 +500,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 (attempts < max_attempts)
                 & (k < max_accepts)
                 & (t <= tmax)
-                & (fails == 0)
+                & (fails < max_rejects)
             )
 
         def body(c):
@@ -499,7 +510,8 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
             else:
                 u1, enorm = step(u, t, h)
                 f1 = f0
-            ok = jnp.isfinite(enorm) & (enorm <= 1.0)
+            finite = jnp.isfinite(enorm)
+            ok = finite & (enorm <= 1.0)
             hfac = n.safety * jnp.power(
                 jnp.maximum(enorm, 1e-300), expo
             )
@@ -507,15 +519,24 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 h * jnp.clip(hfac, n.clip_low, n.clip_high),
                 n.dt_min, n.dt_max,
             )
+            # finite rejection: shrink h on device (same formula as the
+            # host controller's _new_h_reject) and keep stepping.
+            # Rejected attempts leave u unchanged, so the base RHS f0
+            # stays valid.  Non-finite enorm exits immediately with h
+            # UNTOUCHED so the host retries the same h robustly.
+            h_rej = jnp.maximum(
+                h * jnp.clip(hfac, n.clip_low, 0.9), n.dt_min
+            )
             u = jnp.where(ok, u1, u)
-            # rejected attempts leave u unchanged (so the base RHS f0
-            # stays valid) and h UNTOUCHED: the host retries the same
-            # h with the robust solver, then shrinks if that fails too
             f0 = jnp.where(ok, f1, f0)
             t = jnp.where(ok, t + h, t)
-            h = jnp.where(ok, h_acc, h)
+            h = jnp.where(ok, h_acc, jnp.where(finite, h_rej, h))
             k = k + ok.astype(k.dtype)
-            fails = jnp.where(ok, 0, fails + 1)
+            fails = jnp.where(
+                ok,
+                0,
+                jnp.where(finite, fails + 1, jnp.int32(max_rejects)),
+            )
             return (u, t, h, f0, k, fails, attempts + 1)
 
         if chain is not None:
@@ -526,7 +547,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         u, t, h, f0, k, fails, attempts = jax.lax.while_loop(
             cond, body, (u, t, h, f0, zero, zero, zero)
         )
-        return u, t, h, k, attempts, fails > 0
+        return u, t, h, k, attempts, fails >= max_rejects
 
     return jax.jit(chunk), tab
 
@@ -852,6 +873,9 @@ class Solver:
                 )
                 kacc, attempts = int(kacc), int(attempts)
                 rej = bool(rej)
+                # on-device rejections are solve failures for parity
+                # accounting (the reference counts SNES failures)
+                self.snes_failures += max(0, attempts - kacc)
                 if n.monitor:
                     print(
                         "  TSAdapt chunk: %d accepted / %d attempts, "

@@ -115,6 +115,43 @@ def test_device_fused_adaptive_loop(prob):
     assert np.abs(uf - ex_f).max() < 5e-2
 
 
+def test_chunk_shrinks_h_on_device(prob):
+    """A finite-enorm rejection inside the fused adaptive chunk must be
+    handled ON DEVICE (shrink h, keep stepping) — not by exiting to the
+    host fallback.  Regression for the hexagons2d rough phase, where
+    exit-on-first-reject parked the run permanently on the ~1000x
+    slower host robust path (docs/HANDOFF_r2.md)."""
+    from ksfd_tpu.solvers.solver import make_adaptive_chunk_fn
+
+    ps, grid, ops = prob
+    nm = NumericsOptions(ksp_iters=2)  # weak solver: h=500 rejects
+    chunk, _ = make_adaptive_chunk_fn(ops, nm, atol=0.01, rtol=1e-6)
+    u0 = ops.groom(jnp.asarray(exact_state(ps, grid, 0.0)))
+    u, t, h, k, att, rej = chunk(u0, 0.0, 500.0, 1e9, 8)
+    assert not bool(rej)          # never escalated to the host
+    assert int(k) == 8            # all requested accepts delivered
+    assert int(att) > int(k)      # ... after on-device rejections
+    assert float(h) < 500.0       # h was shrunk into the stable range
+    assert np.all(np.isfinite(np.asarray(u)))
+
+
+def test_chunk_exits_rejected_on_nonfinite(prob):
+    """A non-finite error estimate must exit the chunk immediately with
+    h untouched, handing the state to the host robust path."""
+    from ksfd_tpu.solvers.solver import make_adaptive_chunk_fn
+
+    ps, grid, ops = prob
+    chunk, _ = make_adaptive_chunk_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6
+    )
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    ubad = u0.at[0, 0].set(jnp.nan)
+    u, t, h, k, att, rej = chunk(ubad, 0.0, 1.0, 1e9, 8)
+    assert bool(rej)
+    assert int(k) == 0 and int(att) == 1
+    assert float(h) == pytest.approx(1.0)
+
+
 def test_device_loop_disabled_when_noise_active():
     ps, grid, ops = make_problem(
         nx=32, extra_params=["variance_rate=1e-5"]
