@@ -21,6 +21,7 @@ import jax.numpy as jnp
 __all__ = [
     "gmres_fixed",
     "gmres_restarted",
+    "gmres_rolled",
     "richardson_solve",
     "richardson_solve_resid",
 ]
@@ -80,6 +81,102 @@ def richardson_solve_resid(resid, b, M, iters=12):
         return x + M(resid(x, b))
 
     return jax.lax.fori_loop(0, int(iters) - 1, body, x)
+
+
+def gmres_rolled(op, b, M=None, iters=12, restarts=4, x0=None):
+    """Left-preconditioned restarted GMRES(iters) with ROLLED loops.
+
+    The robust-tier workhorse.  Three implementations coexist because
+    they trade compile time against run time differently on XLA:TPU:
+
+    - gmres_fixed: fully unrolled; fastest per call at tiny iters but
+      its O(m^2) scalar Givens graph hits multi-minute XLA:TPU compile
+      scheduling beyond m ~ 8 (CLAUDE.md pitfall).
+    - jax.scipy gmres (gmres_solve): rolled and compile-cheap, but its
+      generic machinery costs ~20x the component arithmetic per call.
+    - THIS: rolled lax.fori_loop Arnoldi with the Krylov basis held in
+      one (m+1, n) array (rows filled as they are created; dot products
+      against still-zero rows vanish, so no masking is needed) and the
+      Givens/Hessenberg recurrences on small arrays.  The compiled
+      graph is O(1) in m, and per call it runs the same large-array
+      work as gmres_fixed: basis matvec + rank-1 updates (MXU/VPU
+      friendly), none of jax.scipy's per-iteration pytree overhead.
+
+    Breakdown contract matches gmres_fixed: safe() division yields a
+    finite (possibly wrong) answer; the caller's embedded step-error
+    control judges solve quality (SURVEY §5.3 division of labor).
+    """
+    import jax
+    from jax import lax
+
+    if M is None:
+        M = lambda v: v
+    shape = b.shape
+    m = int(iters)
+    flat = lambda v: v.reshape(-1)
+    n = b.size
+    dtype = b.dtype
+    safe = lambda x: jnp.where(x > 0, x, jnp.ones_like(x))
+
+    def A(v):
+        return flat(M(op(v.reshape(shape))))
+
+    def cycle(x):
+        r0 = flat(M(b)) if x is None else flat(M(b - op(x.reshape(shape))))
+        beta = jnp.linalg.norm(r0)
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = V.at[0].set(r0 / safe(beta))
+        R = jnp.zeros((m, m), dtype=dtype)
+        cs = jnp.ones((m,), dtype=dtype)
+        sn = jnp.zeros((m,), dtype=dtype)
+        g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
+
+        def arnoldi(j, carry):
+            V, R, cs, sn, g = carry
+            w = A(V[j])
+            # CGS2: dots against not-yet-created rows are exactly zero
+            h1 = V @ w
+            w = w - V.T @ h1
+            h2 = V @ w
+            w = w - V.T @ h2
+            h = h1 + h2
+            hlast = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / safe(hlast))
+            col = h.at[j + 1].set(hlast)
+
+            # apply rotations 0..j-1 (identity beyond: cs=1, sn=0)
+            def rot(i, col):
+                t0 = cs[i] * col[i] + sn[i] * col[i + 1]
+                t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
+                return col.at[i].set(t0).at[i + 1].set(t1)
+
+            col = lax.fori_loop(0, j, rot, col)
+            denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
+            cj = col[j] / safe(denom)
+            sj = col[j + 1] / safe(denom)
+            cs = cs.at[j].set(cj)
+            sn = sn.at[j].set(sj)
+            col = col.at[j].set(denom).at[j + 1].set(0.0)
+            R = R.at[:, j].set(col[:m])
+            gj = cj * g[j] + sj * g[j + 1]
+            gj1 = -sj * g[j] + cj * g[j + 1]
+            g = g.at[j].set(gj).at[j + 1].set(gj1)
+            return (V, R, cs, sn, g)
+
+        V, R, cs, sn, g = lax.fori_loop(
+            0, m, arnoldi, (V, R, cs, sn, g)
+        )
+        # back substitution on the tiny upper-triangular R
+        Rsafe = R + jnp.diag(jnp.where(jnp.abs(jnp.diag(R)) > 0, 0.0, 1.0))
+        y = jax.scipy.linalg.solve_triangular(Rsafe, g[:m], lower=False)
+        dx = V[:m].T @ y
+        dx = jnp.where(beta > 0, dx, jnp.zeros_like(dx))
+        return dx if x is None else x + dx
+
+    x = flat(x0) if x0 is not None else None
+    for _ in range(int(restarts)):
+        x = cycle(x)
+    return x.reshape(shape)
 
 
 def gmres_fixed(op, b, M=None, iters=8, x0=None):

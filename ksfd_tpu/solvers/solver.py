@@ -27,6 +27,7 @@ from .linalg import (
 from .gmres import (
     gmres_fixed,
     gmres_restarted,
+    gmres_rolled,
     richardson_solve,
     richardson_solve_resid,
 )
@@ -272,6 +273,12 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 )
             if numerics.ksp_type == "gmres":
                 return gmres_fixed(W, bi, M=Minv, iters=numerics.ksp_iters)
+            if numerics.ksp_type == "gmres_rolled":
+                return gmres_rolled(
+                    W, bi, M=Minv,
+                    iters=numerics.ksp_restart,
+                    restarts=numerics.ksp_max_it,
+                )
             if numerics.ksp_type == "gmres_restarted":
                 return gmres_restarted(
                     W, bi, M=Minv, iters=8,

@@ -258,8 +258,8 @@ def decode_numerics(tokens, petsc_tokens=()):
         elif key == "ksp_type":
             val, i = take_value(i)
             if val in (
-                "richardson", "gmres", "gmres_restarted", "gmres_scipy",
-                "dense", "direct", "banded",
+                "richardson", "gmres", "gmres_restarted", "gmres_rolled",
+                "gmres_scipy", "dense", "direct", "banded",
             ):
                 opts.ksp_type = val
             elif val == "preonly":

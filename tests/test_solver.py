@@ -94,6 +94,49 @@ def test_manufactured_solution_gate_dense():
     assert err < 2e-3, err
 
 
+def test_gmres_rolled_matches_dense_step(manufactured32):
+    """The rolled restarted GMRES (robust-tier workhorse) must match
+    the exact dense LU stage solves to Krylov-convergence accuracy."""
+    ps, grid, ops = manufactured32
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    dense_fn, _ = make_step_fn(
+        ops, NumericsOptions(ksp_type="dense"), atol=0.01, rtol=1e-6
+    )
+    rolled_fn, _ = make_step_fn(
+        ops,
+        NumericsOptions(
+            ksp_type="gmres_rolled", ksp_restart=12, ksp_max_it=3
+        ),
+        atol=0.01, rtol=1e-6,
+    )
+    ud, ed = dense_fn(u0, 0.0, 1.0)
+    ur, er = rolled_fn(u0, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(ur), np.asarray(ud), rtol=2e-9)
+    assert float(ed) == pytest.approx(float(er), rel=5e-2)
+
+
+def test_gmres_rolled_agrees_with_fixed():
+    """Same Krylov space -> same answer: rolled vs unrolled GMRES on a
+    preconditioned nonsymmetric system, plus breakdown safety."""
+    from ksfd_tpu.solvers.gmres import gmres_fixed, gmres_rolled
+
+    rng = np.random.default_rng(7)
+    n = 30
+    A = np.eye(n) * 2.5 + 0.3 * rng.standard_normal((n, n))
+    b = jnp.asarray(rng.standard_normal(n))
+    op = lambda v: jnp.asarray(A) @ v
+    M = lambda v: v / 2.5
+    xref = np.linalg.solve(A, np.asarray(b))
+    xr = np.asarray(gmres_rolled(op, b, M=M, iters=15, restarts=2))
+    assert np.abs(xr - xref).max() < 1e-8
+    xf = np.asarray(gmres_fixed(op, b, M=M, iters=15))
+    x1 = np.asarray(gmres_rolled(op, b, M=M, iters=15, restarts=1))
+    np.testing.assert_allclose(x1, xf, rtol=1e-6, atol=1e-9)
+    # breakdown: zero rhs stays finite (zero)
+    x0b = np.asarray(gmres_rolled(op, jnp.zeros(n), iters=5, restarts=2))
+    assert np.all(x0b == 0.0)
+
+
 def test_manufactured_solution_gate_gmres():
     ps, grid, ops = make_problem(nx=64)
     numerics = NumericsOptions(adapt_type="none", ksp_rtol=1e-10)
