@@ -105,8 +105,19 @@ def gmres_rolled(op, b, M=None, iters=12, restarts=4, x0=None):
     Breakdown contract matches gmres_fixed: safe() division yields a
     finite (possibly wrong) answer; the caller's embedded step-error
     control judges solve quality (SURVEY §5.3 division of labor).
+
+    STRUCTURE WARNING (measured on the TPU tunnel): nested lax loops
+    with real trip counts run pathologically slowly — a rolled
+    restarts loop around this rolled Arnoldi ran ~3000x slower than
+    the same work restart-by-restart (467s vs 4 x 0.14s at 384^2).
+    Hence: ONE lax.fori_loop (the Arnoldi), with the Givens update
+    applied via an accumulated (m+1, m+1) rotation matrix instead of
+    an inner loop, back substitution unrolled (m is small and
+    static), and restarts as a static Python loop.  Keep it that way
+    — and never embed this inside another lax loop (it is also the
+    reason the in-chunk robust retry is host-side; see
+    make_adaptive_chunk_fn).
     """
-    import jax
     from jax import lax
 
     if M is None:
@@ -121,18 +132,19 @@ def gmres_rolled(op, b, M=None, iters=12, restarts=4, x0=None):
     def A(v):
         return flat(M(op(v.reshape(shape))))
 
+    eye = jnp.eye(m + 1, dtype=dtype)
+
     def cycle(x):
-        r0 = flat(M(b)) if x is None else flat(M(b - op(x.reshape(shape))))
+        r0 = flat(M(b - op(x.reshape(shape))))
         beta = jnp.linalg.norm(r0)
         V = jnp.zeros((m + 1, n), dtype=dtype)
         V = V.at[0].set(r0 / safe(beta))
         R = jnp.zeros((m, m), dtype=dtype)
-        cs = jnp.ones((m,), dtype=dtype)
-        sn = jnp.zeros((m,), dtype=dtype)
+        Om = eye  # product of the Givens rotations applied so far
         g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
 
         def arnoldi(j, carry):
-            V, R, cs, sn, g = carry
+            V, R, Om, g = carry
             w = A(V[j])
             # CGS2: dots against not-yet-created rows are exactly zero
             h1 = V @ w
@@ -142,38 +154,39 @@ def gmres_rolled(op, b, M=None, iters=12, restarts=4, x0=None):
             h = h1 + h2
             hlast = jnp.linalg.norm(w)
             V = V.at[j + 1].set(w / safe(hlast))
-            col = h.at[j + 1].set(hlast)
-
-            # apply rotations 0..j-1 (identity beyond: cs=1, sn=0)
-            def rot(i, col):
-                t0 = cs[i] * col[i] + sn[i] * col[i + 1]
-                t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
-                return col.at[i].set(t0).at[i + 1].set(t1)
-
-            col = lax.fori_loop(0, j, rot, col)
+            # rotations 0..j-1 in one tiny matvec (slots >= j are
+            # still untouched identity rows in Om)
+            col = Om @ h.at[j + 1].set(hlast)
             denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
             cj = col[j] / safe(denom)
             sj = col[j + 1] / safe(denom)
-            cs = cs.at[j].set(cj)
-            sn = sn.at[j].set(sj)
+            G = (
+                eye.at[j, j].set(cj)
+                .at[j, j + 1].set(sj)
+                .at[j + 1, j].set(-sj)
+                .at[j + 1, j + 1].set(cj)
+            )
+            Om = G @ Om
             col = col.at[j].set(denom).at[j + 1].set(0.0)
             R = R.at[:, j].set(col[:m])
             gj = cj * g[j] + sj * g[j + 1]
             gj1 = -sj * g[j] + cj * g[j + 1]
             g = g.at[j].set(gj).at[j + 1].set(gj1)
-            return (V, R, cs, sn, g)
+            return (V, R, Om, g)
 
-        V, R, cs, sn, g = lax.fori_loop(
-            0, m, arnoldi, (V, R, cs, sn, g)
-        )
-        # back substitution on the tiny upper-triangular R
-        Rsafe = R + jnp.diag(jnp.where(jnp.abs(jnp.diag(R)) > 0, 0.0, 1.0))
-        y = jax.scipy.linalg.solve_triangular(Rsafe, g[:m], lower=False)
-        dx = V[:m].T @ y
+        V, R, Om, g = lax.fori_loop(0, m, arnoldi, (V, R, Om, g))
+        # back substitution R y = g[:m], unrolled (m static, small)
+        y = [None] * m
+        for j in range(m - 1, -1, -1):
+            s = g[j]
+            for k in range(j + 1, m):
+                s = s - R[j, k] * y[k]
+            y[j] = s / jnp.where(R[j, j] != 0, R[j, j], 1.0)
+        dx = V[:m].T @ jnp.stack(y)
         dx = jnp.where(beta > 0, dx, jnp.zeros_like(dx))
-        return dx if x is None else x + dx
+        return x + dx
 
-    x = flat(x0) if x0 is not None else None
+    x = flat(x0) if x0 is not None else jnp.zeros((n,), dtype=dtype)
     for _ in range(int(restarts)):
         x = cycle(x)
     return x.reshape(shape)

@@ -128,7 +128,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
     mixed32_static = (
         not fast32
         and not use_dense
-        and numerics.ksp_type == "richardson"
+        and numerics.ksp_type in ("richardson", "gmres_rolled")
         and (block_pc or precond is not None)
         and numerics.sweep_dtype in ("float32", "f32")
     )
@@ -217,7 +217,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
         mixed32 = (
             not fast32
             and not use_dense
-            and numerics.ksp_type == "richardson"
+            and numerics.ksp_type in ("richardson", "gmres_rolled")
             and Minv is not None
             and numerics.sweep_dtype in ("float32", "f32")
         )
@@ -253,6 +253,21 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 # passes) and upcast at their f64 use sites — XLA
                 # fuses the converts, and deferring the cast is
                 # mathematically the identity
+                if numerics.ksp_type == "gmres_rolled":
+                    # selectable Krylov tier over the SAME cheap f32 W
+                    # (Pallas J-action when available).  Measured limits
+                    # (docs/HANDOFF_r2.md): on the hexagons2d rough
+                    # aggregated state the f32 matvec noise swamps the
+                    # Krylov process (enorm 72-150 where f64 GMRES gets
+                    # 0.41), so this tier does NOT rescue states where
+                    # Richardson diverges — the host-side f64
+                    # gmres_scipy fallback does.  Useful on CPU meshes
+                    # and milder stiffness.
+                    return gmres_rolled(
+                        W32, bi.astype(jnp.float32), M=Minv,
+                        iters=numerics.ksp_restart,
+                        restarts=numerics.ksp_max_it,
+                    )
                 if resid32 is not None:
                     return richardson_solve_resid(
                         resid32, bi.astype(jnp.float32), M=Minv,
@@ -749,14 +764,23 @@ class Solver:
         residual.  The controller retries rejected steps with this
         before shrinking h, and stays on it (probing the fast path
         again every 64 accepted steps).
+
+        Solver choice (measured on the hexagons2d 384^2 rough state,
+        h=110, docs/HANDOFF_r2.md): the retry must run FULL f64 — the
+        f32-W rolled GMRES does not converge there (enorm 72-150 vs
+        the f64 tiers' ~0.4; f32 matvec noise swamps the Krylov
+        process exactly where the preconditioner is weakest).  Among
+        the f64 tiers, jax.scipy's rolled GMRES is the fastest on the
+        TPU (2.1 s/step vs 11.5 s for gmres_rolled, whose f64 basis
+        matmuls hit the emulated-f64 MXU path), so the escalation
+        stays on it; gmres_rolled remains selectable and is the right
+        choice on CPU meshes.
         """
         if self.numerics.ksp_type not in ("richardson",):
             return None
         if self._fallback_fn is None:
             import dataclasses
 
-            # full f64 stage evals: the retry must not share the fast
-            # path's mixed-precision approximations
             nm = dataclasses.replace(
                 self.numerics, ksp_type="gmres_scipy",
                 ksp_restart=12, ksp_max_it=4, stage_delta=False,
