@@ -481,16 +481,23 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         ],
     )
 
+    # The kernel bodies hold many (tx + 2*halo, ny)-sized temporaries
+    # on the Mosaic stack (G slabs, per-axis gradients); at ny=1024,
+    # tx=128 the resid kernel's frame crosses the default 16 MiB scoped
+    # VMEM limit.  Raise the per-kernel limit (v5e has 128 MiB VMEM;
+    # blocks + scratch + stack stay well under half of it).
+    _cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
     def rhs_local(sc, u32):
         return pl.pallas_call(
             rhs_kernel, out_shape=out_shape, grid_spec=grid_spec_rhs,
-            interpret=interpret,
+            interpret=interpret, compiler_params=_cparams,
         )(sc, pad_x(u32))
 
     def jvp_local(tarr, u32, v32):
         return pl.pallas_call(
             jvp_kernel, out_shape=out_shape, grid_spec=grid_spec_jvp,
-            interpret=interpret,
+            interpret=interpret, compiler_params=_cparams,
         )(tarr, pad_x(u32), pad_x(v32))
 
     grid_spec_resid = pltpu.PrefetchScalarGridSpec(
@@ -519,7 +526,7 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
     def resid_local(sc, u32, v32, b32):
         return pl.pallas_call(
             resid_kernel, out_shape=out_shape, grid_spec=grid_spec_resid,
-            interpret=interpret,
+            interpret=interpret, compiler_params=_cparams,
         )(sc, pad_x(u32), pad_x(v32), b32)
 
     grid_spec_delta = pltpu.PrefetchScalarGridSpec(
@@ -547,7 +554,7 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
     def delta_local(sc, u32, d32, s32):
         return pl.pallas_call(
             delta_kernel, out_shape=out_shape, grid_spec=grid_spec_delta,
-            interpret=interpret,
+            interpret=interpret, compiler_params=_cparams,
         )(sc, pad_x(u32), pad_x(d32), pad_x(s32))
 
     rhs_sharded = shardwrap(rhs_local, 1)

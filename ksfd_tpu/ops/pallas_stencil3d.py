@@ -353,24 +353,29 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
     def _unfold(o):
         return o.reshape(dof, o.shape[1], ny, nz)
 
+    # raise the per-kernel scoped VMEM limit: the folded-lane kernel
+    # bodies hold several slab-sized temporaries on the Mosaic stack
+    # (same fix as the 2D kernels; default limit is 16 MiB)
+    _cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
     def rhs_local(sc, u32):
         out = pl.pallas_call(
             rhs_kernel, out_shape=out_shape, grid_spec=grid_spec(1),
-            interpret=interpret,
+            interpret=interpret, compiler_params=_cparams,
         )(sc, pad_x(_fold(u32)))
         return _unfold(out)
 
     def jvp_local(tarr, u32, v32):
         out = pl.pallas_call(
             jvp_kernel, out_shape=out_shape, grid_spec=grid_spec(2),
-            interpret=interpret,
+            interpret=interpret, compiler_params=_cparams,
         )(tarr, pad_x(_fold(u32)), pad_x(_fold(v32)))
         return _unfold(out)
 
     def delta_local(sc, u32, d32, s32):
         out = pl.pallas_call(
             delta_kernel, out_shape=out_shape, grid_spec=grid_spec(3),
-            interpret=interpret,
+            interpret=interpret, compiler_params=_cparams,
         )(sc, pad_x(_fold(u32)), pad_x(_fold(d32)), pad_x(_fold(s32)))
         return _unfold(out)
 
@@ -393,6 +398,7 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
         out = pl.pallas_call(
             resid_kernel, out_shape=out_shape,
             grid_spec=grid_spec_resid, interpret=interpret,
+            compiler_params=_cparams,
         )(sc, pad_x(_fold(u32)), pad_x(_fold(v32)), _fold(b32))
         return _unfold(out)
 
