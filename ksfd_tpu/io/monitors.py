@@ -71,14 +71,32 @@ def write_info(tseries, clargs=None, ps=None, sources=None):
         tseries.try_to_set("/info/sources", picklenp(sources))
 
 
-def make_save_monitor(tseries):
-    """(monitor, closer) writing every accepted step into ``tseries``.
+def make_save_monitor(tseries, every=1):
+    """(monitor, closer) writing accepted steps into ``tseries``.
 
     The file is reopened and temp-closed around every write so an
     abort never leaves it corrupt (KSFD/ksfdts.py:481-496).
-    """
 
-    def save_monitor(solver, k, t, u):
+    every: minimum step-count spacing between snapshots (default 1 =
+    every accepted step, the reference's behavior).  Large production
+    runs (10^5 small steps at 1536^2 write ~56 MB/snapshot) thin the
+    series with --save_every; the driver forces a final write after
+    the loop so the last state is always on disk, and writes are
+    k-deduplicated so the forced call never duplicates a snapshot.
+    """
+    every = max(1, int(every))
+    last_saved = {"k": None}
+
+    def save_monitor(solver, k, t, u, force=False):
+        if last_saved["k"] == k:
+            return
+        if (
+            not force
+            and last_saved["k"] is not None
+            and k - last_saved["k"] < every
+        ):
+            return
+        last_saved["k"] = k
         if not tseries.tsFile:
             tseries.reopen()
         tseries.store(snapshot_block(u, tseries.ranges), t, k=k)

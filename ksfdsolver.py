@@ -50,6 +50,10 @@ def parse_commandline(args=None):
                         help="potential function for capping rho")
     parser.add_argument("--save",
                         help="filename prefix in which to save results")
+    parser.add_argument("--save_every", type=int, default=1,
+                        help="minimum steps between saved snapshots "
+                             "(default 1 = every accepted step; the "
+                             "final state is always saved)")
     parser.add_argument("--check", help="filename prefix for checkpoints")
     parser.add_argument("--resume",
                         help="resume from last point of a TimeSeries")
@@ -233,7 +237,9 @@ def main(*args):
         solver.add_monitor(print_monitor)
     closer = None
     if tseries is not None:
-        save_monitor, closer = make_save_monitor(tseries)
+        save_monitor, closer = make_save_monitor(
+            tseries, every=clargs.save_every
+        )
         solver.add_monitor(save_monitor)
     if clargs.check:
         solver.add_monitor(
@@ -266,6 +272,14 @@ def main(*args):
         traceback.print_exc()
         status = 1
     if tseries is not None:
+        if solver.u is not None:
+            # --save_every thinning: always land the last accepted
+            # state (also after an interrupt/exception unwound solve)
+            try:
+                save_monitor(solver, solver.k, solver.t, solver.u,
+                             force=True)
+            except Exception as e:
+                print("final save failed:", str(e))
         if closer:
             closer()
         tseries.close()

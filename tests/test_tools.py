@@ -218,3 +218,28 @@ def test_gatherer_merges_multirank_files(tmp_path):
     for t, v in full.items():
         np.testing.assert_allclose(merged.retrieve_by_time(t), v)
     merged.close()
+
+
+def test_driver_save_every_thins_series(tmp_path):
+    """--save_every=N stores every Nth accepted step plus the final
+    state (always), with no duplicate snapshot for the last step."""
+    optfile = tmp_path / "opts"
+    optfile.write_text(
+        "--save={d}/solutions/thin\n"
+        "--save_every=3\n"
+        "dt=1\nmaxsteps=7\ntmax=1e6\nwidth=1\nnelements=16\ndim=1\n"
+        "degree=3\natol=0.01\nrtol=1e-6\nsigma=0.02357\ns2=sigma**2/2\n"
+        "Nworms=0\nsrho0=0\nrho0=9000\n"
+        "ngroups=1\nnligands_1=1\nalpha_1=1500\nbeta_1=5.56e-4\n"
+        "s_1_1=0.01\ngamma_1_1=0.01\nD_1_1=1e-6\n"
+        "--petsc\n-ts_type rosw\n-ts_adapt_type none\n--\n".format(
+            d=tmp_path
+        )
+    )
+    r = _run_tool([os.path.join(REPO, "ksfdsolver.py"), "@" + str(optfile)])
+    assert r.returncode == 0, r.stderr + r.stdout
+    ts = TimeSeries(str(tmp_path / "solutions/thin"), mode="r")
+    ks = sorted(int(k) for k in np.asarray(ts.ks))
+    ts.close()
+    # k=0 (initial), k=3, k=6, and the forced final k=7 — not 0..7
+    assert ks == [0, 3, 6, 7], ks
