@@ -152,6 +152,18 @@ def test_chunk_exits_rejected_on_nonfinite(prob):
     assert float(h) == pytest.approx(1.0)
 
 
+def test_device_loop_respects_maxsteps(prob):
+    """The fused chunk must stop at the remaining maxsteps budget
+    (max_accepts is passed per dispatch), not overshoot by up to a
+    full chunk."""
+    ps, grid, ops = prob
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    s = Solver(ops, NumericsOptions(device_loop=True), t0=0.0, dt=1.0,
+               tmax=1e9, maxsteps=5, rtol=1e-6, atol=0.01)
+    s.solve(u0)
+    assert s.k == 5 and not s.diverged
+
+
 def test_device_loop_disabled_when_noise_active():
     ps, grid, ops = make_problem(
         nx=32, extra_params=["variance_rate=1e-5"]
