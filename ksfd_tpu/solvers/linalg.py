@@ -58,19 +58,35 @@ class SpectralPreconditioner:
         default — it runs the basis matmuls on the TPU MXU at full
         rate while the Krylov iteration itself stays in the solve
         dtype; only the Krylov convergence rate is (marginally)
-        affected, never the solution."""
+        affected, never the solution.
+
+        bfloat16 runs the TRANSFORM matmuls in bf16 (4x the f32 MXU
+        rate; accumulation stays f32 via preferred_element_type) while
+        all mode-space arithmetic (denominators, Schur complement)
+        stays float32 — bf16 input rounding perturbs M^{-1} by ~1e-2
+        relative, far inside the Richardson contraction margin, but
+        bf16 DENOMINATOR arithmetic would be fatal (mode stiffness
+        spans ~6 orders).  At many sweeps/stage on large grids the
+        transforms dominate the step; this is the knob for that
+        regime (-pc_dtype bf16)."""
         from ..ops.stencil import laplacian_eigendecomp
 
         self.sshape = tuple(grid.Sshape)
         self.dim = grid.dim
-        self.compute_dtype = compute_dtype or jnp.float32
+        compute_dtype = jnp.dtype(compute_dtype or jnp.float32)
+        self.transform_dtype = compute_dtype
+        self.compute_dtype = (
+            jnp.float32
+            if compute_dtype == jnp.bfloat16
+            else compute_dtype
+        )
         sw = grid.stencil_width
         Qs, lams = [], []
         for d in range(grid.dim):
             Q, lam = laplacian_eigendecomp(
                 int(grid.nps[d]), float(grid.spacing[d]), sw
             )
-            Qs.append(jnp.asarray(Q, dtype=self.compute_dtype))
+            Qs.append(jnp.asarray(Q, dtype=self.transform_dtype))
             lams.append(lam)
         self.Qs = Qs
         # total eigenvalue per spatial mode: lam_x (+ lam_y (+ lam_z))
@@ -80,22 +96,35 @@ class SpectralPreconditioner:
         self.lam = jnp.asarray(total)
 
     def _forward(self, v):
-        # v: (dof, *sshape) -> spectral coefficients, same shape
+        # v: (dof, *sshape) -> spectral coefficients, same shape.
+        # Inputs are cast to the transform dtype; accumulation and the
+        # returned coefficients stay in compute_dtype (f32 for bf16
+        # transforms).
+        v = v.astype(self.transform_dtype)
+        kw = dict(preferred_element_type=self.compute_dtype)
         if self.dim == 1:
-            return jnp.einsum("fi,ik->fk", v, self.Qs[0])
+            return jnp.einsum("fi,ik->fk", v, self.Qs[0], **kw)
         if self.dim == 2:
-            return jnp.einsum("fij,ik,jl->fkl", v, self.Qs[0], self.Qs[1])
+            return jnp.einsum(
+                "fij,ik,jl->fkl", v, self.Qs[0], self.Qs[1], **kw
+            )
         return jnp.einsum(
-            "fijm,ik,jl,mn->fkln", v, self.Qs[0], self.Qs[1], self.Qs[2]
+            "fijm,ik,jl,mn->fkln",
+            v, self.Qs[0], self.Qs[1], self.Qs[2], **kw,
         )
 
     def _inverse(self, c):
+        c = c.astype(self.transform_dtype)
+        kw = dict(preferred_element_type=self.compute_dtype)
         if self.dim == 1:
-            return jnp.einsum("fk,ik->fi", c, self.Qs[0])
+            return jnp.einsum("fk,ik->fi", c, self.Qs[0], **kw)
         if self.dim == 2:
-            return jnp.einsum("fkl,ik,jl->fij", c, self.Qs[0], self.Qs[1])
+            return jnp.einsum(
+                "fkl,ik,jl->fij", c, self.Qs[0], self.Qs[1], **kw
+            )
         return jnp.einsum(
-            "fkln,ik,jl,mn->fijm", c, self.Qs[0], self.Qs[1], self.Qs[2]
+            "fkln,ik,jl,mn->fijm",
+            c, self.Qs[0], self.Qs[1], self.Qs[2], **kw,
         )
 
     def apply(self, v, shift, diff, decay):

@@ -298,6 +298,13 @@ def decode_numerics(tokens, petsc_tokens=()):
                 "f32": "float32", "f64": "float64",
                 "float32": "float32", "float64": "float64",
             }.get(val, opts.sweep_dtype)
+        elif key == "pc_dtype":
+            val, i = take_value(i)
+            opts.pc_dtype = {
+                "bf16": "bfloat16", "bfloat16": "bfloat16",
+                "f32": "float32", "f64": "float64",
+                "float32": "float32", "float64": "float64",
+            }.get(val, opts.pc_dtype)
         elif key in ("ts_adapt_monitor", "snes_monitor", "ksp_monitor", "monitor"):
             val, i = take_value(i)
             opts.monitor = str(val) not in ("0", "false", "False", None)

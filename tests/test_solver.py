@@ -206,3 +206,27 @@ def test_gmres_breakdown_finite_and_judged():
     assert np.all(np.isfinite(np.asarray(xx)))
     res = float(jnp.linalg.norm(bb - op(xx)))
     assert res > 0.5  # visibly unsolved -> embedded error rejects the step
+
+
+def test_bf16_pc_transforms_step_agrees(manufactured32):
+    """-pc_dtype bf16: transform matmuls in bfloat16 (4x MXU rate for
+    the many-sweep large-grid regime) with mode-space arithmetic kept
+    f32 must still contract — the step lands within the dense step's
+    neighborhood and the embedded error agrees to leading order."""
+    from ksfd_tpu import decode_numerics
+
+    ps, grid, ops = manufactured32
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    dense_fn, _ = make_step_fn(
+        ops, NumericsOptions(ksp_type="dense"), atol=0.01, rtol=1e-6
+    )
+    nm = decode_numerics(["-pc_dtype", "bf16", "-ksp_iters", "20"])
+    assert nm.pc_dtype == "bfloat16"
+    bf_fn, _ = make_step_fn(ops, nm, atol=0.01, rtol=1e-6)
+    ud, ed = dense_fn(u0, 0.0, 1.0)
+    ub, eb = bf_fn(u0, 0.0, 1.0)
+    # bf16 transforms only slow convergence; 20 sweeps still land the
+    # solve well inside the step-error tolerance
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(ud), rtol=1e-6)
+    assert np.isfinite(float(eb))
+    assert float(eb) == pytest.approx(float(ed), rel=0.2)
