@@ -52,7 +52,7 @@ class SpectralPreconditioner:
     > 0: never singular.
     """
 
-    def __init__(self, grid, compute_dtype=None):
+    def __init__(self, grid, compute_dtype=None, use_fft=False):
         """compute_dtype: dtype of the transform matmuls.  The
         preconditioner is an approximate inverse, so float32 is the
         default — it runs the basis matmuls on the TPU MXU at full
@@ -68,11 +68,32 @@ class SpectralPreconditioner:
         bf16 DENOMINATOR arithmetic would be fatal (mode stiffness
         spans ~6 orders).  At many sweeps/stage on large grids the
         transforms dominate the step; this is the knob for that
-        regime (-pc_dtype bf16)."""
-        from ..ops.stencil import laplacian_eigendecomp
+        regime (-pc_dtype bf16).
+
+        use_fft: apply the SAME circulant inverse through rfftn/irfftn
+        instead of the basis matmuls — O(n log n) per axis instead of
+        O(n^2), a ~100x FLOP cut at 1536^2 where the 16-sweep stage
+        solves make the transforms the dominant step cost.  Exact up
+        to f32 rounding (the complex DFT diagonalizes every circulant;
+        laplacian_symbol is the same discrete-stencil symbol the
+        matmul basis uses).  f32-only (TPU XLA has no f64 FFT) and
+        single-shard only (an FFT along a sharded axis would gather;
+        the einsum path shards transparently) — make_step_fn gates it
+        accordingly (-pc_fft auto|on|off)."""
+        from ..ops.stencil import laplacian_eigendecomp, laplacian_symbol
 
         self.sshape = tuple(grid.Sshape)
         self.dim = grid.dim
+        self.use_fft = bool(use_fft)
+        if self.use_fft:
+            self.lam_fft = jnp.asarray(
+                laplacian_symbol(
+                    [int(n) for n in grid.nps],
+                    [float(s) for s in grid.spacing],
+                    grid.stencil_width,
+                ),
+                dtype=jnp.float32,
+            )
         compute_dtype = jnp.dtype(compute_dtype or jnp.float32)
         self.transform_dtype = compute_dtype
         self.compute_dtype = (
@@ -80,6 +101,10 @@ class SpectralPreconditioner:
             if compute_dtype == jnp.bfloat16
             else compute_dtype
         )
+        if self.use_fft:
+            self.Qs = None
+            self.lam = self.lam_fft
+            return
         sw = grid.stencil_width
         Qs, lams = [], []
         for d in range(grid.dim):
@@ -96,7 +121,12 @@ class SpectralPreconditioner:
         self.lam = jnp.asarray(total)
 
     def _forward(self, v):
-        # v: (dof, *sshape) -> spectral coefficients, same shape.
+        # v: (dof, *sshape) -> spectral coefficients.  FFT mode:
+        # complex64 rfftn coefficients (last axis truncated to
+        # n//2+1); matmul mode: real coefficients, same shape as v.
+        if self.use_fft:
+            axes = tuple(range(1, 1 + self.dim))
+            return jnp.fft.rfftn(v.astype(jnp.float32), axes=axes)
         # Inputs are cast to the transform dtype; accumulation and the
         # returned coefficients stay in compute_dtype (f32 for bf16
         # transforms).
@@ -114,6 +144,9 @@ class SpectralPreconditioner:
         )
 
     def _inverse(self, c):
+        if self.use_fft:
+            axes = tuple(range(1, 1 + self.dim))
+            return jnp.fft.irfftn(c, s=self.sshape, axes=axes)
         c = c.astype(self.transform_dtype)
         kw = dict(preferred_element_type=self.compute_dtype)
         if self.dim == 1:
@@ -165,8 +198,9 @@ class BlockSpectralPreconditioner(SpectralPreconditioner):
     strongly aggregated states.
     """
 
-    def __init__(self, grid, ops, compute_dtype=None):
-        super().__init__(grid, compute_dtype=compute_dtype)
+    def __init__(self, grid, ops, compute_dtype=None, use_fft=False):
+        super().__init__(grid, compute_dtype=compute_dtype,
+                         use_fft=use_fft)
         self.ops = ops
         self.nfields = ops.nligands + 1
 

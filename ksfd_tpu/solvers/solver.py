@@ -67,14 +67,25 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
     use_dense = numerics.ksp_type in ("dense", "direct")
     precond = None
     block_pc = False
+    # spectral-pc transforms via f32 FFT: 'auto' enables only on a
+    # single-device process — with >1 device the state may be sharded
+    # and an FFT along a sharded axis gathers, while the einsum
+    # transforms shard transparently.
+    if numerics.pc_fft == "on":
+        pc_fft = True
+    elif numerics.pc_fft == "off":
+        pc_fft = False
+    else:
+        pc_fft = len(jax.devices()) == 1
     if numerics.pc_type == "block" and not use_dense:
         precond = BlockSpectralPreconditioner(
-            ops.grid, ops, compute_dtype=numerics.pc_dtype
+            ops.grid, ops, compute_dtype=numerics.pc_dtype,
+            use_fft=pc_fft,
         )
         block_pc = True
     elif numerics.pc_type == "spectral" and not use_dense:
         precond = SpectralPreconditioner(
-            ops.grid, compute_dtype=numerics.pc_dtype
+            ops.grid, compute_dtype=numerics.pc_dtype, use_fft=pc_fft,
         )
     if use_dense:
         dense_prepare, dense_solve = dense_solve_factory(

@@ -141,6 +141,14 @@ class NumericsOptions:
                                  # on device (chunks between monitors;
                                  # auto-disabled when noise/CFL active)
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
+    pc_fft: str = "auto"         # spectral-pc transforms via f32
+                                 # rfftn/irfftn instead of the basis
+                                 # matmuls (~100x fewer FLOPs at
+                                 # 1536^2).  auto = only on a single-
+                                 # device process (an FFT along a
+                                 # sharded axis would gather; TPU XLA
+                                 # has no f64 FFT but the pc is f32);
+                                 # -pc_fft 1/0 forces
     sweep_dtype: str = "float32"  # richardson sweep-chain dtype; f32
                                   # (default) halves sweep HBM traffic
                                   # while stage rhs/combos/error stay
@@ -305,6 +313,13 @@ def decode_numerics(tokens, petsc_tokens=()):
                 "f32": "float32", "f64": "float64",
                 "float32": "float32", "float64": "float64",
             }.get(val, opts.pc_dtype)
+        elif key == "pc_fft":
+            val, i = take_value(i)
+            opts.pc_fft = {
+                "0": "off", "false": "off", "off": "off",
+                "1": "on", "true": "on", "on": "on",
+                "auto": "auto",
+            }.get(str(val), opts.pc_fft)
         elif key in ("ts_adapt_monitor", "snes_monitor", "ksp_monitor", "monitor"):
             val, i = take_value(i)
             opts.monitor = str(val) not in ("0", "false", "False", None)

@@ -230,3 +230,53 @@ def test_bf16_pc_transforms_step_agrees(manufactured32):
     np.testing.assert_allclose(np.asarray(ub), np.asarray(ud), rtol=1e-6)
     assert np.isfinite(float(eb))
     assert float(eb) == pytest.approx(float(ed), rel=0.2)
+
+
+def test_fft_pc_matches_matmul_pc_operator():
+    """-pc_fft: rfftn/irfftn applies the SAME circulant inverse as the
+    DFT-basis matmuls (both diagonalize the discrete stencil exactly);
+    agreement to f32 rounding on both pc variants."""
+    from ksfd_tpu.solvers.linalg import (
+        BlockSpectralPreconditioner,
+        SpectralPreconditioner,
+    )
+
+    import __graft_entry__ as ge
+
+    ps, grid, ops = ge._make_problem(24, 16)  # 2D: rfft truncation + x fft
+    key = jax.random.PRNGKey(3)
+    v = jax.random.normal(key, grid.Vshape, dtype=jnp.float64) * 10.0
+    diff = [1e-6, 1e-5, 2e-5]
+    decay = [0.0, 0.01, 0.02]
+    pm = SpectralPreconditioner(grid)
+    pf = SpectralPreconditioner(grid, use_fft=True)
+    am = np.asarray(pm.apply(v, 0.5, diff, decay))
+    af = np.asarray(pf.apply(v, 0.5, diff, decay))
+    np.testing.assert_allclose(af, am, rtol=0, atol=5e-5 * np.abs(am).max())
+
+    bm = BlockSpectralPreconditioner(grid, ops)
+    bf = BlockSpectralPreconditioner(grid, ops, use_fft=True)
+    u = jnp.asarray(ge._initial_state(grid))
+    means = [jnp.mean(u[i]) for i in range(u.shape[0])]
+    lm = np.asarray(bm.apply_linearized(v, 0.5, 0.0, means, rho_diff=1e-4))
+    lf = np.asarray(bf.apply_linearized(v, 0.5, 0.0, means, rho_diff=1e-4))
+    np.testing.assert_allclose(lf, lm, rtol=0, atol=5e-5 * np.abs(lm).max())
+
+
+def test_fft_pc_step_agrees_with_dense(manufactured32):
+    """A -pc_fft 1 step lands on the dense-LU step like the matmul-pc
+    step does."""
+    from ksfd_tpu import decode_numerics
+
+    ps, grid, ops = manufactured32
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    dense_fn, _ = make_step_fn(
+        ops, NumericsOptions(ksp_type="dense"), atol=0.01, rtol=1e-6
+    )
+    nm = decode_numerics(["-pc_fft", "1", "-ksp_iters", "20"])
+    assert nm.pc_fft == "on"
+    fft_fn, _ = make_step_fn(ops, nm, atol=0.01, rtol=1e-6)
+    ud, ed = dense_fn(u0, 0.0, 1.0)
+    uf, ef = fft_fn(u0, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ud), rtol=1e-6)
+    assert float(ef) == pytest.approx(float(ed), rel=0.2)
