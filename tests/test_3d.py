@@ -223,3 +223,21 @@ def test_pallas3d_sharded_matches_single(monkeypatch):
     np.testing.assert_allclose(
         outs, out1, rtol=1e-5, atol=1e-5 * np.abs(out1).max()
     )
+
+
+def test_3d_fft_pc_matches_matmul_pc():
+    """-pc_fft in 3D: rfftn over all three axes applies the same
+    circulant inverse as the basis matmuls (f32 rounding)."""
+    from ksfd_tpu.solvers.linalg import BlockSpectralPreconditioner
+
+    ps, grid, ops = _problem(nx=12)
+    u = jnp.asarray(_u0(grid))
+    v = jax.random.normal(
+        jax.random.PRNGKey(7), grid.Vshape, dtype=jnp.float64
+    ) * 10.0
+    means = [jnp.mean(u[i]) for i in range(u.shape[0])]
+    bm = BlockSpectralPreconditioner(grid, ops)
+    bf = BlockSpectralPreconditioner(grid, ops, use_fft=True)
+    am = np.asarray(bm.apply_linearized(v, 0.5, 0.0, means, rho_diff=1e-4))
+    af = np.asarray(bf.apply_linearized(v, 0.5, 0.0, means, rho_diff=1e-4))
+    np.testing.assert_allclose(af, am, rtol=0, atol=5e-5 * np.abs(am).max())
