@@ -96,7 +96,6 @@ def make_save_monitor(tseries, every=1):
             and k - last_saved["k"] < every
         ):
             return
-        last_saved["k"] = k
         if not tseries.tsFile:
             tseries.reopen()
         tseries.store(snapshot_block(u, tseries.ranges), t, k=k)
@@ -108,6 +107,9 @@ def make_save_monitor(tseries, every=1):
             k=k,
         )
         tseries.temp_close()
+        # marked only after the write lands: a failed store must not
+        # block the driver's forced final-save retry for the same k
+        last_saved["k"] = k
 
     def close_save_monitor():
         pass  # creator owns the TimeSeries

@@ -69,6 +69,14 @@ __all__ = [
 ]
 
 
+# Per-kernel scoped-VMEM limit for every fused kernel (2D and 3D
+# builders).  The kernel bodies hold many slab-sized temporaries on
+# the Mosaic stack (G slabs, per-axis gradients); at ny=1024, tile 128
+# the resid kernel's frame crosses the DEFAULT 16 MiB scoped limit.
+# v5e has 128 MiB VMEM; blocks + scratch + stack stay well under half.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
 def _interpret_forced():
     """KSFD_PALLAS_INTERPRET=1 runs the kernels in interpret mode on
     any backend — the CI strategy for exercising the (sharded) fast
@@ -481,12 +489,7 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         ],
     )
 
-    # The kernel bodies hold many (tx + 2*halo, ny)-sized temporaries
-    # on the Mosaic stack (G slabs, per-axis gradients); at ny=1024,
-    # tx=128 the resid kernel's frame crosses the default 16 MiB scoped
-    # VMEM limit.  Raise the per-kernel limit (v5e has 128 MiB VMEM;
-    # blocks + scratch + stack stay well under half of it).
-    _cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    _cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
     def rhs_local(sc, u32):
         return pl.pallas_call(

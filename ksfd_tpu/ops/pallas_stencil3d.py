@@ -39,7 +39,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import deriv_coeffs
-from .pallas_stencil import _interpret_forced, pallas_mesh_ok
+from .pallas_stencil import (
+    VMEM_LIMIT_BYTES,
+    _interpret_forced,
+    pallas_mesh_ok,
+)
 
 __all__ = ["make_pallas_kernels_3d", "pallas3d_available"]
 
@@ -353,10 +357,7 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
     def _unfold(o):
         return o.reshape(dof, o.shape[1], ny, nz)
 
-    # raise the per-kernel scoped VMEM limit: the folded-lane kernel
-    # bodies hold several slab-sized temporaries on the Mosaic stack
-    # (same fix as the 2D kernels; default limit is 16 MiB)
-    _cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    _cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
     def rhs_local(sc, u32):
         out = pl.pallas_call(

@@ -85,15 +85,6 @@ class SpectralPreconditioner:
         self.sshape = tuple(grid.Sshape)
         self.dim = grid.dim
         self.use_fft = bool(use_fft)
-        if self.use_fft:
-            self.lam_fft = jnp.asarray(
-                laplacian_symbol(
-                    [int(n) for n in grid.nps],
-                    [float(s) for s in grid.spacing],
-                    grid.stencil_width,
-                ),
-                dtype=jnp.float32,
-            )
         compute_dtype = jnp.dtype(compute_dtype or jnp.float32)
         self.transform_dtype = compute_dtype
         self.compute_dtype = (
@@ -102,8 +93,20 @@ class SpectralPreconditioner:
             else compute_dtype
         )
         if self.use_fft:
+            # FFT mode is f32-only (TPU XLA has no f64 FFT): clamp the
+            # mode-arithmetic dtype so an f64 pc_dtype cannot promote
+            # the complex64 rfftn coefficients to complex128 (whose
+            # irfftn would need the nonexistent f64 FFT).
+            self.compute_dtype = jnp.float32
             self.Qs = None
-            self.lam = self.lam_fft
+            self.lam = jnp.asarray(
+                laplacian_symbol(
+                    [int(n) for n in grid.nps],
+                    [float(s) for s in grid.spacing],
+                    grid.stencil_width,
+                ),
+                dtype=jnp.float32,
+            )
             return
         sw = grid.stencil_width
         Qs, lams = [], []

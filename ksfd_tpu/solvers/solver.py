@@ -70,7 +70,11 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
     # spectral-pc transforms via f32 FFT: 'auto' enables only on a
     # single-device process — with >1 device the state may be sharded
     # and an FFT along a sharded axis gathers, while the einsum
-    # transforms shard transparently.
+    # transforms shard transparently.  NOTE: gate on the DEVICE COUNT,
+    # not the mesh argument — mesh is only passed when the sharded
+    # Pallas fast path engages, so mesh=None does NOT imply the state
+    # is unsharded (the XLA-path sharded runs build their step with
+    # mesh=None and rely on sharding-transparent ops throughout).
     if numerics.pc_fft == "on":
         pc_fft = True
     elif numerics.pc_fft == "off":

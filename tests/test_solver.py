@@ -262,6 +262,17 @@ def test_fft_pc_matches_matmul_pc_operator():
     lf = np.asarray(bf.apply_linearized(v, 0.5, 0.0, means, rho_diff=1e-4))
     np.testing.assert_allclose(lf, lm, rtol=0, atol=5e-5 * np.abs(lm).max())
 
+    # FFT mode must clamp an f64 pc_dtype to f32 (complex128 would
+    # need the f64 FFT that TPU XLA lacks)
+    b64 = BlockSpectralPreconditioner(
+        grid, ops, compute_dtype=jnp.float64, use_fft=True
+    )
+    assert b64.compute_dtype == jnp.float32
+    l64 = np.asarray(
+        b64.apply_linearized(v, 0.5, 0.0, means, rho_diff=1e-4)
+    )
+    np.testing.assert_allclose(l64, lm, rtol=0, atol=5e-5 * np.abs(lm).max())
+
 
 def test_fft_pc_step_agrees_with_dense(manufactured32):
     """A -pc_fft 1 step lands on the dense-LU step like the matmul-pc
