@@ -141,14 +141,17 @@ class NumericsOptions:
                                  # on device (chunks between monitors;
                                  # auto-disabled when noise/CFL active)
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
-    pc_fft: str = "auto"         # spectral-pc transforms via f32
+    pc_fft: str = "off"          # spectral-pc transforms via f32
                                  # rfftn/irfftn instead of the basis
-                                 # matmuls (~100x fewer FLOPs at
-                                 # 1536^2).  auto = only on a single-
-                                 # device process (an FFT along a
-                                 # sharded axis would gather; TPU XLA
-                                 # has no f64 FFT but the pc is f32);
-                                 # -pc_fft 1/0 forces
+                                 # matmuls.  ~100x fewer FLOPs but
+                                 # MEASURED SLOWER on TPU v5e (43 vs
+                                 # 18 ms/step at 1536^2 - XLA:TPU's
+                                 # FFT is far off the MXU einsum
+                                 # rate), so default off; kept for
+                                 # FFT-strong platforms.  auto = on
+                                 # for single-device processes only
+                                 # (an FFT along a sharded axis would
+                                 # gather); -pc_fft 1/0 forces
     sweep_dtype: str = "float32"  # richardson sweep-chain dtype; f32
                                   # (default) halves sweep HBM traffic
                                   # while stage rhs/combos/error stay
