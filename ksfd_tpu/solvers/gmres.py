@@ -63,6 +63,15 @@ def richardson_solve(op, b, M, iters=12, x0=None):
 
     x = M(b) if x0 is None else x0 + M(b - op(x0))
 
+    # Small static sweep counts are UNROLLED: a lax.fori_loop body is
+    # a fusion barrier (the += of sweep k cannot fuse into sweep k+1's
+    # residual pass), and at the default 3 sweeps the loop saves no
+    # compile time worth having.
+    if int(iters) <= 8:
+        for _ in range(int(iters) - 1):
+            x = x + M(b - op(x))
+        return x
+
     def body(j, x):
         return x + M(b - op(x))
 
@@ -76,6 +85,11 @@ def richardson_solve_resid(resid, b, M, iters=12):
     import jax
 
     x = M(b)
+
+    if int(iters) <= 8:  # unroll: see richardson_solve
+        for _ in range(int(iters) - 1):
+            x = x + M(resid(x, b))
+        return x
 
     def body(j, x):
         return x + M(resid(x, b))

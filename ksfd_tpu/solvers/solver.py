@@ -518,9 +518,12 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     rolled-Krylov-in-cond-in-while program reproducibly crashes the
     TPU runtime at 384^2 — worker process death, not a Python error —
     so the escalation lives host-side where the same solver runs fine
-    as its own executable.)  Noise injection and CFL clamping also
-    stay on the host path (the Solver auto-disables the fused loop
-    when those are active).
+    as its own executable.)  Noise injection stays host-side but is
+    chunk-COMPATIBLE: the Solver bounds each chunk by the next
+    injection time (_next_noise_time) so the injection lands on the
+    same accepted step as in the host loop.  CFL clamping still
+    requires the per-step host loop (the Solver auto-disables the
+    fused loop when it is active).
     """
     numerics = numerics or NumericsOptions()
     step, tab = make_step_fn(
@@ -771,17 +774,53 @@ class Solver:
                 self.h = maxh
 
     def _dynamics_need_host(self):
-        """Noise injection or CFL clamping require per-step host logic."""
+        """CFL clamping requires per-step host logic (h is clamped after
+        EVERY accepted step).  Noise injection does NOT: the fused
+        chunk is bounded by the next injection time (_next_noise_time)
+        so the injection lands on the same accepted step as in the
+        host loop."""
         v0 = self.ps.values0
         td = self.ps.tdfuncs
-        noise = (
-            bool(v0.get("variance_rate", 0.0)) or "variance_rate" in td
-        )
-        cfl = (
+        return (
             bool(v0.get("CFL_safety_factor", 0.0))
             or "CFL_safety_factor" in td
         )
-        return noise or cfl
+
+    def _noise_active(self):
+        v0 = self.ps.values0
+        return (
+            bool(v0.get("variance_rate", 0.0))
+            or "variance_rate" in self.ps.tdfuncs
+        )
+
+    def _next_noise_time(self, lastvart, tmax):
+        """Smallest t in (lastvart, tmax] with VTF(t) - VTF(lastvart)
+        >= 1, or None when no injection is due before tmax.
+
+        Used to bound the fused adaptive chunk so that noise fires at
+        the same accepted step as in the host loop.  Assumes the
+        variance timing function is nondecreasing in t — it is a clock
+        by construction (reference: KSFD/ksfdts.py:258-266 computes
+        the same forward difference).  Bisection to ~1e-12 relative;
+        the chunk guard tolerates the residual slack (a boundary-
+        straddling exit simply falls through to host steps until the
+        injection lands)."""
+        vtf = lambda tt: float(
+            self.ps.values(tt)["variance_timing_function"]
+        )
+        target = vtf(lastvart) + 1.0
+        if vtf(tmax) < target:
+            return None
+        lo, hi = float(lastvart), float(tmax)
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if vtf(mid) >= target:
+                hi = mid
+            else:
+                lo = mid
+            if hi - lo <= 1e-12 * max(1.0, abs(hi)):
+                break
+        return hi
 
     def _get_fallback(self):
         """Robust (GMRES, more iterations) step for retries.
@@ -933,9 +972,21 @@ class Solver:
             and h >= self.hmin
         ):
             self.k, self.t, self.h = k, t, h
-            if self._chunk is not None and not self._fb_mode:
+            # Noise injection bounds the fused chunk: it must exit at
+            # the next injection time so the host can inject there
+            # (same accepted step as the pure host loop would use).
+            tmax_eff = self.tmax
+            if self._chunk is not None and self._noise_active():
+                tn = self._next_noise_time(self.lastvart, self.tmax)
+                if tn is not None and tn < tmax_eff:
+                    tmax_eff = tn
+            if (
+                self._chunk is not None
+                and not self._fb_mode
+                and t <= tmax_eff
+            ):
                 u1, tnew, hnew, kacc, attempts, rej = self._chunk(
-                    u, t, h, self.tmax, self.maxsteps - k
+                    u, t, h, tmax_eff, self.maxsteps - k
                 )
                 kacc, attempts = int(kacc), int(attempts)
                 rej = bool(rej)
@@ -956,7 +1007,16 @@ class Solver:
                     consecutive_failures = 0
                     k += kacc
                     t = float(tnew)
-                    u = self.ops.groom(u1)
+                    u = u1
+                    # same post-accept order as the host path below:
+                    # noise -> groom -> refresh_G -> CFL -> monitor
+                    dtv = t - self.lastvart
+                    if self.is_noise_time(t, self.lastvart):
+                        u = self.add_variance(u, dtv, t)
+                        if conserve:
+                            u = self.conserve_worms(u, Nworms)
+                        self.lastvart = t
+                    u = self.ops.groom(u)
                     if hasattr(self.ops, "refresh_G"):
                         u = self.ops.refresh_G(u, t)
                     self.u, self.k, self.t, self.h = u, k, t, h

@@ -139,7 +139,9 @@ class NumericsOptions:
     use_pallas: bool = True      # allow fused kernels in f32 mode
     device_loop: bool = False    # fuse the ADAPTIVE accept/reject loop
                                  # on device (chunks between monitors;
-                                 # auto-disabled when noise/CFL active)
+                                 # noise injection bounds each chunk
+                                 # at the next injection time;
+                                 # auto-disabled when CFL is active)
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
     pc_fft: str = "off"          # spectral-pc transforms via f32
                                  # rfftn/irfftn instead of the basis

@@ -164,13 +164,44 @@ def test_device_loop_respects_maxsteps(prob):
     assert s.k == 5 and not s.diverged
 
 
-def test_device_loop_disabled_when_noise_active():
+def test_device_loop_disabled_when_cfl_active():
     ps, grid, ops = make_problem(
-        nx=32, extra_params=["variance_rate=1e-5"]
+        nx=32, extra_params=["CFL_safety_factor=0.5"]
     )
     s = Solver(ops, NumericsOptions(device_loop=True), t0=0.0, dt=1.0,
                tmax=10.0, maxsteps=5, rtol=1e-6, atol=0.01)
-    assert s._chunk is None  # noise needs the host path
+    assert s._chunk is None  # per-step CFL clamping needs the host loop
+
+
+def test_device_loop_noise_matches_host():
+    """Noise injection is fused-loop compatible: the chunk is bounded
+    by the next injection time, so injections land on the same
+    accepted steps as in the host loop (same PRNG stream => matching
+    trajectories)."""
+    extra = ["variance_rate=1e-6", "variance_timing_function=t/4",
+             "conserve_worms=True"]
+    key = jax.random.PRNGKey(7)
+    runs = {}
+    for name, nm in (
+        ("host", NumericsOptions()),
+        ("fused", NumericsOptions(device_loop=True)),
+    ):
+        ps, grid, ops = make_problem(nx=32, extra_params=extra)
+        s = Solver(ops, nm, t0=0.0, dt=1.0, tmax=30.0, maxsteps=500,
+                   rtol=1e-6, atol=0.01, rng_key=key)
+        u = np.asarray(s.solve(jnp.asarray(exact_state(ps, grid, 0.0))))
+        runs[name] = (s, u)
+    sh, uh = runs["host"]
+    sf, uf = runs["fused"]
+    assert sf._chunk is not None  # noise did NOT disable the chunk
+    # both injected, at the same time points (same PRNG splits)
+    assert sh.lastvart > 0.0
+    assert sf.lastvart == pytest.approx(sh.lastvart, rel=1e-9)
+    assert np.asarray(sf.rng_key).tolist() == np.asarray(
+        sh.rng_key
+    ).tolist()
+    assert sf.t == pytest.approx(sh.t, rel=1e-9)
+    np.testing.assert_allclose(uf, uh, rtol=1e-9, atol=1e-9)
 
 
 def test_history_and_print_monitors(prob, capsys):
