@@ -481,7 +481,7 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
 
 def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                            tableau=None, max_attempts=64, mesh=None,
-                           max_rejects=8):
+                           max_rejects=8, cfl_safety=None):
     """Fused ADAPTIVE integrator chunk: accept/reject control flow on
     device (lax.while_loop), no host round-trips between steps.
 
@@ -529,6 +529,30 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     step, tab = make_step_fn(
         ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh
     )
+    # cfl_safety (constant > 0): clamp the post-accept h on DEVICE by
+    # the velocity CFL bound, exactly as the host loop's CFL_check
+    # does after every accepted step (evaluated on the groomed new
+    # state, like the host path which grooms before checking).  A
+    # time-dependent safety factor keeps the host loop instead
+    # (Solver._dynamics_need_host).
+    cfl_maxh = None
+    if cfl_safety is not None and float(cfl_safety) > 0.0:
+        sw = ops.grid.stencil_width
+        spacing = [float(s) for s in ops.grid.spacing]
+        safety = float(cfl_safety)
+
+        def cfl_maxh(u, t):
+            hs = [
+                jnp.where(
+                    vm > 0.0, s * sw / jnp.maximum(vm, 1e-300), jnp.inf
+                )
+                for vm, s in zip(
+                    (jnp.max(jnp.abs(v)) for v in ops.velocity(u, t)),
+                    spacing,
+                )
+            ]
+            return safety * jnp.min(jnp.stack(hs))
+
     # f0-chained fast step (None when ineligible): the base RHS at the
     # current state is h-independent and only advances (via the
     # increment kernel) on accepts; one fresh f64 evaluation per chunk
@@ -570,6 +594,13 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 h * jnp.clip(hfac, n.clip_low, n.clip_high),
                 n.dt_min, n.dt_max,
             )
+            if cfl_maxh is not None:
+                # host-loop order: groom/noise happen before CFL_check;
+                # inside the chunk there is no noise, so the groomed
+                # accepted state is what the host would check
+                h_acc = jnp.minimum(
+                    h_acc, cfl_maxh(ops.groom(u1), t + h)
+                )
             # finite rejection: shrink h on device (same formula as the
             # host controller's _new_h_reject) and keep stepping.
             # Rejected attempts leave u unchanged, so the base RHS f0
@@ -695,6 +726,7 @@ class Solver:
                 self._chunk, _ = make_adaptive_chunk_fn(
                     ops, self.numerics, atol=self.atol, rtol=self.rtol,
                     max_attempts=128,
+                    cfl_safety=self._chunk_cfl_safety(),
                 )
         self._vmax_fn = jax.jit(
             lambda u, t: jnp.stack(
@@ -774,17 +806,19 @@ class Solver:
                 self.h = maxh
 
     def _dynamics_need_host(self):
-        """CFL clamping requires per-step host logic (h is clamped after
-        EVERY accepted step).  Noise injection does NOT: the fused
-        chunk is bounded by the next injection time (_next_noise_time)
-        so the injection lands on the same accepted step as in the
-        host loop."""
+        """Only a TIME-DEPENDENT CFL safety factor still forces the
+        per-step host loop.  A constant factor is clamped on device
+        inside the fused chunk (make_adaptive_chunk_fn cfl_safety),
+        and noise injection is handled by bounding each chunk at the
+        next injection time (_next_noise_time) — both then act on the
+        same accepted steps as the host loop."""
+        return "CFL_safety_factor" in self.ps.tdfuncs
+
+    def _chunk_cfl_safety(self):
+        """Constant CFL factor to clamp on device, or None."""
         v0 = self.ps.values0
-        td = self.ps.tdfuncs
-        return (
-            bool(v0.get("CFL_safety_factor", 0.0))
-            or "CFL_safety_factor" in td
-        )
+        s = float(v0.get("CFL_safety_factor", 0.0) or 0.0)
+        return s if s > 0.0 else None
 
     def _noise_active(self):
         v0 = self.ps.values0
@@ -943,6 +977,7 @@ class Solver:
                 self._chunk, _ = make_adaptive_chunk_fn(
                     self.ops, n, atol=self.atol, rtol=self.rtol,
                     max_attempts=128, mesh=self._mesh,
+                    cfl_safety=self._chunk_cfl_safety(),
                 )
             self._fallback_fn = None
         self.t = self.t0 if t is None else float(t)

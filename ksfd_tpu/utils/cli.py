@@ -140,8 +140,10 @@ class NumericsOptions:
     device_loop: bool = False    # fuse the ADAPTIVE accept/reject loop
                                  # on device (chunks between monitors;
                                  # noise injection bounds each chunk
-                                 # at the next injection time;
-                                 # auto-disabled when CFL is active)
+                                 # at the next injection time; a
+                                 # constant CFL factor clamps h on
+                                 # device; only a TIME-DEPENDENT CFL
+                                 # factor falls back to the host loop)
     pc_dtype: str = "float32"    # transform dtype (approx inverse)
     pc_fft: str = "off"          # spectral-pc transforms via f32
                                  # rfftn/irfftn instead of the basis

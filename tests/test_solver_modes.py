@@ -164,13 +164,38 @@ def test_device_loop_respects_maxsteps(prob):
     assert s.k == 5 and not s.diverged
 
 
-def test_device_loop_disabled_when_cfl_active():
+def test_device_loop_disabled_when_cfl_time_dependent():
     ps, grid, ops = make_problem(
-        nx=32, extra_params=["CFL_safety_factor=0.5"]
+        nx=32, extra_params=["CFL_safety_factor=0.5+1e-12*sin(t)"]
     )
     s = Solver(ops, NumericsOptions(device_loop=True), t0=0.0, dt=1.0,
                tmax=10.0, maxsteps=5, rtol=1e-6, atol=0.01)
-    assert s._chunk is None  # per-step CFL clamping needs the host loop
+    assert s._chunk is None  # TD CFL factor needs per-step host logic
+
+
+def test_device_loop_cfl_matches_host():
+    """A constant CFL safety factor is clamped ON DEVICE inside the
+    fused chunk, reproducing the host loop's per-accept clamp."""
+    extra = ["CFL_safety_factor=1e-5"]  # binds: maxh ~31 vs free h ~120
+    runs = {}
+    for name, nm in (
+        ("host", NumericsOptions()),
+        ("fused", NumericsOptions(device_loop=True)),
+    ):
+        ps, grid, ops = make_problem(nx=32, extra_params=extra)
+        s = Solver(ops, nm, t0=0.0, dt=1.0, tmax=200.0, maxsteps=500,
+                   rtol=1e-6, atol=0.01)
+        u = np.asarray(s.solve(jnp.asarray(exact_state(ps, grid, 0.0))))
+        runs[name] = (s, u)
+    sh, uh = runs["host"]
+    sf, uf = runs["fused"]
+    assert sf._chunk is not None  # constant CFL kept the fused loop
+    # the clamp actually bound (h pinned to safety * CFL bound)
+    assert sh.h == pytest.approx(1e-5 * sh.CFL_maxh, rel=1e-6)
+    assert sf.k == sh.k
+    assert sf.t == pytest.approx(sh.t, rel=1e-9)
+    assert sf.h == pytest.approx(sh.h, rel=1e-9)
+    np.testing.assert_allclose(uf, uh, rtol=1e-9, atol=1e-9)
 
 
 def test_device_loop_noise_matches_host():
