@@ -26,14 +26,18 @@ def main(argv=None):
     parser.add_argument("-n", "--nframes", type=int, default=100)
     parser.add_argument("--steps", action="store_true",
                         help="use stored steps instead of interpolation")
+    parser.add_argument("-s", "--start", type=float, default=None)
+    parser.add_argument("-e", "--end", type=float, default=None)
     parser.add_argument("prefix")
     parser.add_argument("outfile")
     args = parser.parse_args(argv)
     soln = Solution(args.prefix)
+    t0 = args.start if args.start is not None else soln.tmin
+    t1 = args.end if args.end is not None else soln.tmax
     if args.steps:
-        times = list(soln.tstimes)
+        times = [t for t in soln.tstimes if t0 <= t <= t1]
     else:
-        times = np.linspace(soln.tmin, soln.tmax, args.nframes)
+        times = np.linspace(t0, t1, args.nframes)
     with h5py.File(args.outfile, "w") as out:
         out["times"] = np.asarray(times, dtype=float)
         out["coords"] = np.asarray(soln.grid.coords)
