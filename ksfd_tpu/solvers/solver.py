@@ -204,11 +204,18 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
             )
             if block_pc:
                 nf = ops.nligands + 1
-                means = [jnp.mean(u[i]) for i in range(nf)]
+                # The pc statistics feed a float32 approximate inverse:
+                # on the mixed-precision path compute them from the f32
+                # view of the state (XLA CSEs the cast with the sweep
+                # chain's u32) — halves this full-grid f64 traffic.
+                ustat = (
+                    u.astype(jnp.float32) if mixed32_static else u
+                )
+                means = [jnp.mean(ustat[i]) for i in range(nf)]
                 # pointwise effective rho diffusivity bound (see
                 # linalg.apply_linearized): robust at capped peaks
-                dG0 = ops._dG_fns[0](*[u[i] for i in range(nf)], t)
-                rho_diff = jnp.max(u[0] * dG0)
+                dG0 = ops._dG_fns[0](*[ustat[i] for i in range(nf)], t)
+                rho_diff = jnp.max(ustat[0] * dG0)
                 Minv = lambda v: precond.apply_linearized(
                     v, shift, t, means, rho_diff=rho_diff
                 )
@@ -351,19 +358,48 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
         else:
             Ys = []
             _up = lambda y: y.astype(u.dtype)
+            # Combination dtype for the stage increments.  On the
+            # mixed-precision path the Y_j carry only float32
+            # information (solve() returns f32 storage) and the stage
+            # right-hand side bi feeds an f32 sweep chain anyway, so
+            # ALL Y-combinations are accumulated in f32 and upcast
+            # once at their f64 use site — half the HBM traffic of
+            # the combination passes, no new error class (f32 eps
+            # relative to the increment, the established envelope).
+            _comb = (lambda y: y) if mixed32 else _up
+
+            def _ysum(coeffs, scale=1.0):
+                """sum_j coeffs[j]*scale * Ys[j] in the combination
+                dtype, or None when all coefficients vanish."""
+                acc = None
+                for j, cj in enumerate(coeffs):
+                    if cj:
+                        term = (cj * scale) * _comb(Ys[j])
+                        acc = term if acc is None else acc + term
+                return acc
+
             for i in range(tab.stages):
-                Ui = u
-                for j in range(i):
-                    if tab.a[i][j]:
-                        Ui = Ui + tab.a[i][j] * _up(Ys[j])
+                asum = _ysum(tab.a[i][:i])
+                Ui = u if asum is None else u + _up(asum)
                 if i == 0 and tab.alpha[0] == 0.0:
                     bi = f0
                 else:
                     bi = stage_eval(Ui, t + tab.alpha[i] * h)
-                for j in range(i):
-                    if tab.c[i][j]:
-                        bi = bi + (tab.c[i][j] / h) * _up(Ys[j])
+                csum = _ysum(tab.c[i][:i], scale=1.0 / h)
+                if csum is not None:
+                    if mixed32:
+                        # bi is consumed by the f32 solve: add the
+                        # f32 combination after one downcast instead
+                        # of paying stages of f64 axpy traffic
+                        bi = bi.astype(csum.dtype) + csum
+                    else:
+                        bi = bi + csum
                 Ys.append(solve(bi))
+            # The solution/embedded combinations stay FLOAT64 even on
+            # the mixed path: their difference (the local truncation
+            # error) is a cancelling sum ~1e-7 of the increments, so
+            # f32 accumulation would add rounding noise at the error
+            # estimate's own scale (measured 0.5% enorm drift).
             u1 = u
             uhat = u
             for j in range(tab.stages):

@@ -15,9 +15,22 @@ def prob():
     return make_problem(nx=32)
 
 
-def test_multistep_matches_stepping(prob):
+@pytest.mark.parametrize("sweep_dtype", ["float32", "float64"])
+def test_multistep_matches_stepping(prob, sweep_dtype):
+    """Fused multistep ≡ host stepping.
+
+    On the default mixed-precision path (sweep_dtype float32) the
+    stage combinations accumulate in f32, so results are only
+    reproducible across different XLA compilations (standalone step
+    vs fori_loop body) to f32-eps-of-increment — the established
+    mixed-precision envelope; the error estimate (a cancelling sum at
+    ~1e-7 of the increments) is compared at a matching 1% tolerance.
+    The pure-f64 sweep path must match bit-for-bit in state and to
+    f64 roundoff in enorm.
+    """
     ps, grid, ops = prob
-    nm = NumericsOptions(adapt_type="none")
+    mixed = sweep_dtype == "float32"
+    nm = NumericsOptions(adapt_type="none", sweep_dtype=sweep_dtype)
     step, _ = make_step_fn(ops, nm, atol=0.01, rtol=1e-6)
     multi, _ = make_multistep_fn(ops, nm, atol=0.01, rtol=1e-6)
     u = jnp.asarray(exact_state(ps, grid, 0.0))
@@ -29,9 +42,10 @@ def test_multistep_matches_stepping(prob):
         t += 1.0
     um, tm, em = multi(u, 0.0, 1.0, 4)
     np.testing.assert_allclose(np.asarray(um), np.asarray(uref),
-                               rtol=1e-12, atol=1e-12)
+                               rtol=1e-10 if mixed else 1e-12,
+                               atol=1e-8 if mixed else 1e-12)
     assert float(tm) == pytest.approx(4.0)
-    assert float(em) == pytest.approx(emax, rel=1e-6)
+    assert float(em) == pytest.approx(emax, rel=0.01 if mixed else 1e-6)
 
 
 def test_solver_block_steps(prob):
@@ -193,9 +207,13 @@ def test_device_loop_cfl_matches_host():
     # the clamp actually bound (h pinned to safety * CFL bound)
     assert sh.h == pytest.approx(1e-5 * sh.CFL_maxh, rel=1e-6)
     assert sf.k == sh.k
-    assert sf.t == pytest.approx(sh.t, rel=1e-9)
-    assert sf.h == pytest.approx(sh.h, rel=1e-9)
-    np.testing.assert_allclose(uf, uh, rtol=1e-9, atol=1e-9)
+    # mixed-precision envelope: the fused chunk and the host step are
+    # different XLA compilations, so the f32 stage combinations drift
+    # at f32-eps-of-increment; through the CFL-clamped h trajectory
+    # that compounds to ~1e-8 relative on t/h over ~100 steps.
+    assert sf.t == pytest.approx(sh.t, rel=1e-6)
+    assert sf.h == pytest.approx(sh.h, rel=1e-6)
+    np.testing.assert_allclose(uf, uh, rtol=1e-6, atol=1e-6)
 
 
 def test_device_loop_noise_matches_host():
@@ -221,12 +239,13 @@ def test_device_loop_noise_matches_host():
     assert sf._chunk is not None  # noise did NOT disable the chunk
     # both injected, at the same time points (same PRNG splits)
     assert sh.lastvart > 0.0
-    assert sf.lastvart == pytest.approx(sh.lastvart, rel=1e-9)
+    assert sf.lastvart == pytest.approx(sh.lastvart, rel=1e-6)
     assert np.asarray(sf.rng_key).tolist() == np.asarray(
         sh.rng_key
     ).tolist()
-    assert sf.t == pytest.approx(sh.t, rel=1e-9)
-    np.testing.assert_allclose(uf, uh, rtol=1e-9, atol=1e-9)
+    # mixed-precision envelope across compilations (see the CFL test)
+    assert sf.t == pytest.approx(sh.t, rel=1e-6)
+    np.testing.assert_allclose(uf, uh, rtol=1e-6, atol=1e-6)
 
 
 def test_history_and_print_monitors(prob, capsys):
