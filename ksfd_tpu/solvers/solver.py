@@ -31,7 +31,12 @@ from .gmres import (
     richardson_solve,
     richardson_solve_resid,
 )
-from .steppers import DIRKTableau, get_tableau, wlte_norm
+from .steppers import (
+    DIRKTableau,
+    get_tableau,
+    wlte_norm,
+    wlte_norm_delta,
+)
 
 logTS = logger("TS")
 
@@ -395,16 +400,24 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                     else:
                         bi = bi + csum
                 Ys.append(solve(bi))
-            # The solution/embedded combinations stay FLOAT64 even on
-            # the mixed path: their difference (the local truncation
-            # error) is a cancelling sum ~1e-7 of the increments, so
-            # f32 accumulation would add rounding noise at the error
-            # estimate's own scale (measured 0.5% enorm drift).
+            # The solution combination stays FLOAT64 even on the mixed
+            # path, and the embedded DIFFERENCE is accumulated directly
+            # from the exact (m2_j - m_j) Python-float coefficients in
+            # f64: the local truncation error is a cancelling sum at
+            # ~1e-7 of the increments, so f32 accumulation (measured
+            # 0.5% enorm drift) or the u-addition round trip of a
+            # materialized uhat would add noise at the estimate's own
+            # scale.
             u1 = u
-            uhat = u
+            d = None
             for j in range(tab.stages):
                 u1 = u1 + tab.m[j] * _up(Ys[j])
-                uhat = uhat + tab.m2[j] * _up(Ys[j])
+                dm = tab.m2[j] - tab.m[j]
+                if dm:
+                    term = dm * _up(Ys[j])
+                    d = term if d is None else d + term
+            enorm = wlte_norm_delta(u1, d, atol, rtol)
+            return u, u1, enorm
         enorm = wlte_norm(u1, uhat, atol, rtol)
         return u, u1, enorm
 
