@@ -8,6 +8,7 @@ from .solver import (
     print_monitor,
     history_monitor,
 )
+from .ensemble import EnsembleSolver, shard_members
 
 __all__ = [
     "Tableau",
@@ -25,4 +26,6 @@ __all__ = [
     "richardson_solve",
     "print_monitor",
     "history_monitor",
+    "EnsembleSolver",
+    "shard_members",
 ]

@@ -1,0 +1,378 @@
+"""Ensemble integration: N independent trajectories as ONE program.
+
+The reference runs one options file per process (its only parallelism
+is spatial domain decomposition, KSFD/ksfdgrid.py:1-4); parameter
+sweeps and noise ensembles there mean N separate cluster jobs.  On
+TPU the natural "free" axis (SURVEY §2 "Parallelism strategies") is
+batch-of-trajectories data parallelism: the jitted implicit step is
+`jax.vmap`-ped over a leading member axis, every member carries its
+own (t, h, PRNG key, controller state) on the host, and the member
+axis shards over the device mesh as pure DP (no cross-member
+communication at all, so scaling is embarrassing by construction).
+
+Semantics per member match the scalar `Solver` host loop (accept /
+reject via the embedded WLTE estimate, PETSc-style h controller with
+clip/rollback, GMRES fallback retry at the same h, CFL clamp, noise
+injection with per-member keys, worm-count conservation) with one
+deliberate simplification: the scalar loop's fallback-solver
+*hysteresis* (staying on GMRES for 64 accepts after an engage,
+Solver._get_fallback) is not carried per member — each rejected
+member retries the same h on the robust solver that iteration only.
+Trajectories where the fallback never engages are identical to the
+scalar loop's up to the mixed-precision cross-compilation envelope
+(vmapped step vs scalar step are different XLA executables; see
+docs/PERF.md "f32 combination passes").
+
+Usage:
+    es = EnsembleSolver(ops, numerics, t0=.., dt=.., tmax=..,
+                        maxsteps=.., atol=.., rtol=..)
+    out = es.solve(U0)            # U0: (n_members, dof, nx[, ny[, nz]])
+    out.u, out.t, out.k, out.diverged, out.snes_failures  # per member
+
+Shard the member axis over the devices with `shard_members(U0)`
+before calling solve(); everything downstream is sharding-transparent.
+"""
+
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.cli import NumericsOptions
+from ..utils.debug import logger
+from .solver import make_step_fn
+from .steppers import DIRKTableau, get_tableau
+
+logENS = logger("ENSEMBLE")
+
+__all__ = ["EnsembleSolver", "shard_members"]
+
+
+def shard_members(U, devices=None):
+    """Distribute the leading member axis of U over the devices.
+
+    Pure data parallelism: a 1D Mesh('e') with NamedSharding
+    P('e', None, ...).  n_members must be divisible by the device
+    count.  Returns the sharded array (use .sharding/.addressable_
+    shards to inspect placement).
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devices = list(devices if devices is not None else jax.devices())
+    if U.shape[0] % len(devices):
+        raise ValueError(
+            "n_members=%d not divisible by %d devices"
+            % (U.shape[0], len(devices))
+        )
+    mesh = Mesh(np.array(devices), ("e",))
+    spec = PartitionSpec("e", *([None] * (U.ndim - 1)))
+    return jax.device_put(U, NamedSharding(mesh, spec))
+
+
+class EnsembleSolver:
+    """Vector adaptive controller over a vmapped implicit step."""
+
+    default_hmin = 1e-20
+
+    def __init__(
+        self,
+        ops,
+        numerics=None,
+        t0=0.0,
+        dt=0.001,
+        tmax=20.0,
+        maxsteps=100,
+        rtol=1e-5,
+        atol=1e-5,
+        hmin=None,
+        rng_key=None,
+    ):
+        self.ops = ops
+        self.ps = ops.ps
+        self.numerics = numerics or NumericsOptions()
+        self.t0 = float(t0)
+        self.dt0 = float(dt)
+        self.tmax = float(tmax)
+        self.maxsteps = int(maxsteps)
+        self.rtol = float(rtol)
+        self.atol = float(atol)
+        self.hmin = float(hmin) if hmin else self.default_hmin
+        self.rng_key = (
+            rng_key if rng_key is not None else jax.random.PRNGKey(0)
+        )
+        self.monitors = []
+        self.tableau = get_tableau(self.numerics.ts_type)
+        step, _ = make_step_fn(
+            self.ops, self.numerics, atol=self.atol, rtol=self.rtol
+        )
+        self._vstep = jax.jit(jax.vmap(step))
+        self._vgroom = jax.jit(jax.vmap(self.ops.groom))
+        self._vfallback = None
+        self._vmax_fn = jax.jit(
+            jax.vmap(
+                lambda u, t: jnp.stack(
+                    [jnp.max(jnp.abs(v)) for v in ops.velocity(u, t)]
+                )
+            )
+        )
+        # per-member state, filled by solve()
+        self.u = None
+        self.ts = self.hs = self.ks = None
+        self.diverged = None
+        self.snes_failures = None
+
+    # -- monitors ---------------------------------------------------
+    def add_monitor(self, monitor):
+        """monitor(es, ks, ts, U) with per-member vectors, called after
+        every outer iteration that accepted at least one member."""
+        self.monitors.append(monitor)
+
+    def monitor(self, ks, ts, U):
+        for m in self.monitors:
+            m(self, ks, ts, U)
+
+    # -- vector h controller (elementwise Solver._new_h_*) ----------
+    def _h_accept_vec(self, h, enorm):
+        n = self.numerics
+        expo = -1.0 / (self.tableau.order + 1)
+        with np.errstate(divide="ignore", over="ignore"):
+            hfac = np.where(
+                enorm <= 0.0,
+                n.clip_high,
+                n.safety * np.maximum(enorm, 1e-300) ** expo,
+            )
+        hfac = np.clip(hfac, n.clip_low, n.clip_high)
+        return np.clip(h * hfac, n.dt_min, n.dt_max)
+
+    def _h_reject_vec(self, h, enorm, finite):
+        n = self.numerics
+        expo = -1.0 / (self.tableau.order + 1)
+        with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+            hfac = np.where(
+                finite,
+                np.clip(
+                    n.safety
+                    * np.where(finite, np.maximum(enorm, 1e-300), 1.0)
+                    ** expo,
+                    n.clip_low,
+                    0.9,
+                ),
+                n.rollback_factor,
+            )
+        return np.maximum(h * hfac, n.dt_min)
+
+    def _get_vfallback(self):
+        if self.numerics.ksp_type not in ("richardson",):
+            return None
+        if self._vfallback is None:
+            import dataclasses
+
+            nm = dataclasses.replace(
+                self.numerics, ksp_type="gmres_scipy",
+                ksp_restart=12, ksp_max_it=4, stage_delta=False,
+            )
+            fb, _ = make_step_fn(
+                self.ops, nm, atol=self.atol, rtol=self.rtol
+            )
+            self._vfallback = jax.jit(jax.vmap(fb))
+        return self._vfallback
+
+    # -- per-member physics helpers ---------------------------------
+    def _cfl_maxh(self, U, ts):
+        """Per-member max stable h (Solver.CFL_step vectorized)."""
+        vmaxs = np.asarray(self._vmax_fn(U, jnp.asarray(ts)))
+        sw = self.ops.grid.stencil_width
+        sp = np.asarray(self.ops.grid.spacing)
+        with np.errstate(divide="ignore"):
+            hmaxs = np.where(vmaxs == 0.0, np.inf, sw * sp / vmaxs)
+        return hmaxs.min(axis=1)
+
+    def _cfl_clamp(self, U, ts, hs, active):
+        sf = [
+            float(self.ps.values(float(t))["CFL_safety_factor"])
+            for t in ts
+        ]
+        sf = np.asarray(sf)
+        if not (sf > 0.0).any():
+            return hs
+        maxh = np.where(sf > 0.0, sf * self._cfl_maxh(U, ts), np.inf)
+        return np.where(active, np.minimum(hs, maxh), hs)
+
+    def _noise_active(self):
+        v0 = self.ps.values0
+        return (
+            bool(v0.get("variance_rate", 0.0))
+            or "variance_rate" in self.ps.tdfuncs
+        )
+
+    def _inject_noise(self, U, ts, lastvart, accepted, conserve, Nw0):
+        """Per-member geometric-Brownian injection (Solver.add_variance
+        with an independent key chain per member; only injected members
+        consume their chain)."""
+        inject = np.zeros(len(ts), dtype=bool)
+        sds = np.zeros(len(ts))
+        for i in np.nonzero(accepted)[0]:
+            t, lv = float(ts[i]), float(lastvart[i])
+            vals = self.ps.values(t)
+            vrate = float(vals["variance_rate"] or 0.0)
+            if vrate <= 0.0:
+                continue
+            flast = self.ps.values(lv)["variance_timing_function"]
+            if float(vals["variance_timing_function"]) - float(flast) < 1.0:
+                continue
+            inject[i] = True
+            sds[i] = np.sqrt(vrate * (t - lv))
+        if not inject.any():
+            return U, lastvart
+        keys2 = jax.vmap(jax.random.split)(self._keys)
+        subs = keys2[:, 1]
+        stn = jax.vmap(
+            lambda kk, uu: jax.random.normal(
+                kk, uu[0].shape, dtype=uu.dtype
+            )
+        )(subs, U)
+        mshape = (len(ts),) + (1,) * (U.ndim - 2)
+        m = jnp.asarray(inject).reshape(mshape)
+        rho = jnp.where(
+            m,
+            U[:, 0] * jnp.exp(jnp.asarray(sds).reshape(mshape) * stn),
+            U[:, 0],
+        )
+        U = jnp.concatenate([rho[:, None], U[:, 1:]], axis=1)
+        if conserve:
+            corr = jnp.asarray(Nw0) / jnp.sum(
+                U[:, 0], axis=tuple(range(1, U.ndim - 1))
+            )
+            corr = jnp.where(jnp.asarray(inject), corr, 1.0)
+            U = jnp.concatenate(
+                [(U[:, 0] * corr.reshape(mshape))[:, None], U[:, 1:]],
+                axis=1,
+            )
+        # advance only the injected members' key chains
+        self._keys = jnp.where(
+            jnp.asarray(inject)[:, None], keys2[:, 0], self._keys
+        )
+        lastvart = np.where(inject, ts, lastvart)
+        return U, lastvart
+
+    # -- the loop ----------------------------------------------------
+    def solve(self, U0):
+        """Integrate every member to tmax/maxsteps.  Returns a
+        SimpleNamespace with per-member u, t, h, k, diverged,
+        snes_failures (and leaves the same on self)."""
+        n = self.numerics
+        adapt = n.adapt_type != "none"
+        U = jnp.asarray(U0)
+        N = U.shape[0]
+        vrefresh = None
+        if hasattr(self.ops, "refresh_G"):
+            vrefresh = jax.jit(jax.vmap(self.ops.refresh_G))
+        U = self._vgroom(U)
+        if vrefresh is not None:
+            U = vrefresh(U, jnp.full(N, self.t0))
+        ts = np.full(N, self.t0)
+        hs = np.full(N, min(max(self.dt0, n.dt_min), n.dt_max))
+        ks = np.zeros(N, dtype=int)
+        diverged = np.zeros(N, dtype=bool)
+        consec = np.zeros(N, dtype=int)
+        snes = np.zeros(N, dtype=int)
+        self._keys = jax.vmap(jax.random.fold_in)(
+            jnp.broadcast_to(self.rng_key, (N,) + self.rng_key.shape),
+            jnp.arange(N),
+        )
+        lastvart = np.full(N, self.t0)
+        conserve = self.ps.params0["conserve_worms"]
+        conserve = False if conserve == "False" else bool(conserve)
+        Nw0 = np.asarray(
+            jnp.sum(U[:, 0], axis=tuple(range(1, U.ndim - 1)))
+        )
+        hs = self._cfl_clamp(U, ts, hs, np.ones(N, dtype=bool))
+        self.monitor(ks, ts, U)
+        while True:
+            active = (
+                ~diverged
+                & (ks < self.maxsteps)
+                & (ts <= self.tmax)
+                & (hs >= self.hmin)
+            )
+            if not active.any():
+                break
+            u1, enorm = self._vstep(
+                U, jnp.asarray(ts), jnp.asarray(hs)
+            )
+            e = np.asarray(enorm)
+            finite = np.isfinite(e)
+            rejected = active & (
+                (~finite) | (adapt & (e > 1.0))
+            )
+            if rejected.any() and self._get_vfallback() is not None:
+                u1b, eb = self._get_vfallback()(
+                    U, jnp.asarray(ts), jnp.asarray(hs)
+                )
+                ebn = np.asarray(eb)
+                rescued = (
+                    rejected
+                    & np.isfinite(ebn)
+                    & ((ebn <= 1.0) | (not adapt))
+                )
+                if rescued.any():
+                    logENS("fallback rescued members", np.nonzero(rescued)[0])
+                    sel = jnp.asarray(rescued).reshape(
+                        (N,) + (1,) * (U.ndim - 1)
+                    )
+                    u1 = jnp.where(sel, u1b, u1)
+                    e = np.where(rescued, ebn, e)
+                    finite = finite | rescued
+                    rejected = rejected & ~rescued
+            accepted = active & ~rejected
+            snes += rejected
+            consec = np.where(rejected, consec + 1, 0)
+            diverged |= consec > n.max_snes_failures
+            # commit accepted members
+            if accepted.any():
+                sel = jnp.asarray(accepted).reshape(
+                    (N,) + (1,) * (U.ndim - 1)
+                )
+                U = jnp.where(sel, u1, U)
+                ts = np.where(accepted, ts + hs, ts)
+                ks = ks + accepted
+            if adapt:
+                hs = np.where(
+                    accepted,
+                    self._h_accept_vec(hs, e),
+                    np.where(
+                        rejected,
+                        self._h_reject_vec(hs, e, finite),
+                        hs,
+                    ),
+                )
+            else:
+                hs = np.where(
+                    rejected, self._h_reject_vec(hs, e, finite), hs
+                )
+                # fixed-dt semantics: restore the nominal dt on accept
+                hs = np.where(
+                    accepted,
+                    min(max(self.dt0, n.dt_min), n.dt_max),
+                    hs,
+                )
+            if accepted.any():
+                if self._noise_active():
+                    U, lastvart = self._inject_noise(
+                        U, ts, lastvart, accepted, conserve, Nw0
+                    )
+                U = self._vgroom(U)
+                if vrefresh is not None:
+                    U = vrefresh(U, jnp.asarray(ts))
+                hs = self._cfl_clamp(U, ts, hs, accepted)
+                self.ks, self.ts, self.hs = ks, ts, hs
+                self.monitor(ks, ts, U)
+        self.u = U
+        self.ts, self.hs, self.ks = ts, hs, ks
+        self.diverged = diverged
+        self.snes_failures = snes
+        return SimpleNamespace(
+            u=U, t=ts, h=hs, k=ks, diverged=diverged,
+            snes_failures=snes,
+        )

@@ -1,0 +1,135 @@
+"""EnsembleSolver: N trajectories as one vmapped SPMD program.
+
+No reference counterpart (the reference integrates one options file
+per cluster job); this is the batch-of-trajectories DP axis noted in
+SURVEY §2 "Parallelism strategies".  The oracle is the scalar Solver:
+each member of an ensemble must follow the same adaptive trajectory
+as its own scalar run, to the mixed-precision cross-compilation
+envelope (vmapped and scalar steps are different XLA executables).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ksfd_tpu import NumericsOptions
+from ksfd_tpu.solvers import EnsembleSolver, Solver, shard_members
+from manufactured import make_problem, exact_state
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return make_problem(nx=32)
+
+
+def _members(ps, grid, n):
+    """n distinct perturbations of the manufactured state."""
+    base = np.asarray(exact_state(ps, grid, 0.0))
+    rng = np.random.default_rng(42)
+    out = []
+    for i in range(n):
+        pert = 1.0 + 1e-3 * rng.standard_normal(base.shape)
+        out.append(base * pert)
+    return np.stack(out)
+
+
+def test_ensemble_matches_scalar_trajectories(prob):
+    """Each member follows its own scalar-Solver trajectory.  Compared
+    on the pure-f64 sweep path, which is reproducible across the
+    scalar and vmapped compilations (the default mixed path drifts at
+    the f32 envelope and is covered by the other tests)."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 3)
+    nm = NumericsOptions(sweep_dtype="float64")
+    kw = dict(t0=0.0, dt=1.0, tmax=40.0, maxsteps=60, rtol=1e-6,
+              atol=0.01)
+    es = EnsembleSolver(ops, nm, **kw)
+    out = es.solve(jnp.asarray(U0))
+    assert not out.diverged.any()
+    for i in range(3):
+        s = Solver(ops, nm, **kw)
+        ui = np.asarray(s.solve(jnp.asarray(U0[i])))
+        # same controller decisions => same step counts and times
+        assert out.k[i] == s.k
+        assert out.t[i] == pytest.approx(s.t, rel=1e-9)
+        assert out.h[i] == pytest.approx(s.h, rel=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(out.u[i]), ui, rtol=1e-9, atol=1e-9
+        )
+
+
+def test_ensemble_members_independent(prob):
+    """Changing one member's IC must not perturb the others at all
+    (data parallelism is communication-free)."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 2)
+    kw = dict(t0=0.0, dt=1.0, tmax=20.0, maxsteps=40, rtol=1e-6,
+              atol=0.01)
+    outA = EnsembleSolver(ops, NumericsOptions(), **kw).solve(
+        jnp.asarray(U0)
+    )
+    U0b = U0.copy()
+    U0b[1] *= 1.0 + 1e-2
+    outB = EnsembleSolver(ops, NumericsOptions(), **kw).solve(
+        jnp.asarray(U0b)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outA.u[0]), np.asarray(outB.u[0])
+    )
+    assert np.abs(np.asarray(outA.u[1]) - np.asarray(outB.u[1])).max() > 0
+
+
+def test_ensemble_sharded_over_mesh(prob):
+    """8 members sharded over the 8-device mesh: same answer as the
+    unsharded run, member axis actually distributed."""
+    ps, grid, ops = prob
+    n = len(jax.devices())
+    U0 = _members(ps, grid, n)
+    kw = dict(t0=0.0, dt=1.0, tmax=20.0, maxsteps=40, rtol=1e-6,
+              atol=0.01)
+    ref = EnsembleSolver(ops, NumericsOptions(), **kw).solve(
+        jnp.asarray(U0)
+    )
+    Us = shard_members(jnp.asarray(U0))
+    assert len(Us.sharding.device_set) == n
+    out = EnsembleSolver(ops, NumericsOptions(), **kw).solve(Us)
+    assert (out.k == ref.k).all()
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(ref.u), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_ensemble_fixed_dt_and_divergence_isolation(prob):
+    """adapt none: accepted members keep the nominal dt; a member
+    driven to divergence (absurd dt) is flagged without stopping the
+    healthy members."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 2)
+    nm = NumericsOptions(adapt_type="none", ksp_iters=2,
+                         max_snes_failures=1)
+    es = EnsembleSolver(ops, nm, t0=0.0, dt=1.0, tmax=5.0, maxsteps=5,
+                        rtol=1e-6, atol=0.01)
+    out = es.solve(jnp.asarray(U0))
+    assert not out.diverged.any()
+    assert (out.k == 5).all()
+    assert np.allclose(out.t, 5.0)
+
+
+def test_ensemble_noise_streams_differ(prob):
+    """Per-member PRNG chains: with noise active, members starting
+    from the SAME state receive different injections."""
+    ps, grid, ops = make_problem(
+        nx=32,
+        extra_params=["variance_rate=1e-6",
+                      "variance_timing_function=t/4"],
+    )
+    base = np.asarray(exact_state(ps, grid, 0.0))
+    U0 = np.stack([base, base])
+    es = EnsembleSolver(ops, NumericsOptions(), t0=0.0, dt=1.0,
+                        tmax=30.0, maxsteps=100, rtol=1e-6, atol=0.01,
+                        rng_key=jax.random.PRNGKey(7))
+    out = es.solve(jnp.asarray(U0))
+    assert not out.diverged.any()
+    d = np.abs(np.asarray(out.u[0]) - np.asarray(out.u[1])).max()
+    assert d > 1e-8  # injections actually differed between members
