@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..utils.exceptions import KSFDException
 from ..native.banded import CyclicBandedSolver
-from .steppers import wlte_norm
+from .steppers import wlte_norm_delta
 
 __all__ = ["probe_stride", "extract_w_band", "make_banded_step"]
 
@@ -124,15 +124,20 @@ def make_banded_step(ops, tab, atol, rtol):
                 # interleaved-dof ordering: index (p, f) -> p*dof + f
                 yi = solver.solve(bi.T.reshape(-1))
                 Ys.append(yi.reshape(n, dof).T.copy())
+            # same embedded-difference accumulation as _step_core:
+            # d = sum_j (m2_j - m_j) Y_j with exact coefficient
+            # differences (see wlte_norm_delta)
             u1 = u.copy()
-            uhat = u.copy()
+            d = np.zeros_like(u)
             for jj in range(tab.stages):
                 u1 = u1 + tab.m[jj] * Ys[jj]
-                uhat = uhat + tab.m2[jj] * Ys[jj]
+                dm = tab.m2[jj] - tab.m[jj]
+                if dm:
+                    d = d + dm * Ys[jj]
         finally:
             solver.close()
-        enorm = float(wlte_norm(jnp.asarray(u1), jnp.asarray(uhat),
-                                atol, rtol))
+        enorm = float(wlte_norm_delta(jnp.asarray(u1), jnp.asarray(d),
+                                      atol, rtol))
         return jnp.asarray(u1), enorm
 
     return step

@@ -103,6 +103,15 @@ class EnsembleSolver:
         )
         self.monitors = []
         self.tableau = get_tableau(self.numerics.ts_type)
+        # vmap cannot batch the fused Pallas kernels on TPU (Mosaic
+        # rejects batched blocks in memory space ANY), so the ensemble
+        # step always uses the sharding-transparent XLA path; the
+        # member batching itself recovers the device utilization the
+        # kernels provide for single trajectories.
+        import dataclasses
+
+        nm = dataclasses.replace(self.numerics, use_pallas=False)
+        self.numerics = nm
         step, _ = make_step_fn(
             self.ops, self.numerics, atol=self.atol, rtol=self.rtol
         )
