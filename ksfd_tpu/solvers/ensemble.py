@@ -87,7 +87,12 @@ class EnsembleSolver:
         atol=1e-5,
         hmin=None,
         rng_key=None,
+        block_steps=1,
     ):
+        """block_steps > 1 (fixed-dt runs only): fuse that many steps
+        per member into one vmapped device execution between monitor
+        calls — the scalar Solver's block mode, essential over a
+        high-dispatch-latency device link."""
         self.ops = ops
         self.ps = ops.ps
         self.numerics = numerics or NumericsOptions()
@@ -116,6 +121,18 @@ class EnsembleSolver:
             self.ops, self.numerics, atol=self.atol, rtol=self.rtol
         )
         self._vstep = jax.jit(jax.vmap(step))
+        self.block_steps = int(block_steps)
+        self._vmulti = None
+        if self.block_steps > 1 and self.numerics.adapt_type == "none":
+            from .solver import make_multistep_fn
+
+            multi, _ = make_multistep_fn(
+                self.ops, self.numerics, atol=self.atol, rtol=self.rtol
+            )
+            self._vmulti = jax.jit(
+                jax.vmap(multi, in_axes=(0, 0, 0, None)),
+                static_argnums=3,
+            )
         self._vgroom = jax.jit(jax.vmap(self.ops.groom))
         self._vfallback = None
         self._vmax_fn = jax.jit(
@@ -307,15 +324,35 @@ class EnsembleSolver:
             )
             if not active.any():
                 break
-            u1, enorm = self._vstep(
-                U, jnp.asarray(ts), jnp.asarray(hs)
-            )
+            nblk = 1
+            if self._vmulti is not None:
+                nblk = max(
+                    1,
+                    min(
+                        self.block_steps,
+                        self.maxsteps - int(ks[active].max()),
+                    ),
+                )
+            if nblk > 1:
+                # fused fixed-dt blocks (noise/CFL/monitors act at
+                # block boundaries, like the scalar block mode)
+                u1, _, enorm = self._vmulti(
+                    U, jnp.asarray(ts), jnp.asarray(hs), nblk
+                )
+            else:
+                u1, enorm = self._vstep(
+                    U, jnp.asarray(ts), jnp.asarray(hs)
+                )
             e = np.asarray(enorm)
             finite = np.isfinite(e)
             rejected = active & (
                 (~finite) | (adapt & (e > 1.0))
             )
-            if rejected.any() and self._get_vfallback() is not None:
+            if (
+                rejected.any()
+                and nblk == 1
+                and self._get_vfallback() is not None
+            ):
                 u1b, eb = self._get_vfallback()(
                     U, jnp.asarray(ts), jnp.asarray(hs)
                 )
@@ -344,8 +381,8 @@ class EnsembleSolver:
                     (N,) + (1,) * (U.ndim - 1)
                 )
                 U = jnp.where(sel, u1, U)
-                ts = np.where(accepted, ts + hs, ts)
-                ks = ks + accepted
+                ts = np.where(accepted, ts + nblk * hs, ts)
+                ks = ks + nblk * accepted
             if adapt:
                 hs = np.where(
                     accepted,

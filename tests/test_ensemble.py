@@ -116,6 +116,26 @@ def test_ensemble_fixed_dt_and_divergence_isolation(prob):
     assert np.allclose(out.t, 5.0)
 
 
+def test_ensemble_block_steps_matches_stepping(prob):
+    """block_steps>1 fixed-dt: fused vmapped blocks between monitor
+    calls, same final states as per-step ensemble integration."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 2)
+    nm = NumericsOptions(adapt_type="none", sweep_dtype="float64")
+    kw = dict(t0=0.0, dt=1.0, tmax=1e9, maxsteps=6, rtol=1e-6,
+              atol=0.01)
+    ref = EnsembleSolver(ops, nm, **kw).solve(jnp.asarray(U0))
+    esB = EnsembleSolver(ops, nm, block_steps=3, **kw)
+    seen = []
+    esB.add_monitor(lambda es, ks, ts, U: seen.append(ks.copy()))
+    out = esB.solve(jnp.asarray(U0))
+    assert (out.k == 6).all() and (ref.k == 6).all()
+    assert [list(k) for k in seen] == [[0, 0], [3, 3], [6, 6]]
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(ref.u), rtol=1e-12, atol=1e-12
+    )
+
+
 def test_ensemble_noise_streams_differ(prob):
     """Per-member PRNG chains: with noise active, members starting
     from the SAME state receive different injections."""
