@@ -179,7 +179,8 @@ def make_pallas_rhs(ops, tile_x=128, interpret=False, mesh=None):
     return k.rhs, k.jvp
 
 
-def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
+def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
+                        batch=0):
     """Build the fused kernels for a 2D PDEOperators.
 
     Returns a namespace with:
@@ -201,6 +202,15 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         (pallas_mesh_ok must hold); the kernels then run per shard
         under shard_map with ppermute halo exchange and the global
         mean reductions ride XLA collectives.
+
+    batch: build the kernels for a leading MEMBER axis of that size
+        (ensemble batching): the Pallas grid gains a member dimension
+        and every ref indexes it, so one kernel launch serves all
+        members.  Exposed indirectly — unbatched (batch=0, the
+        default, unsharded) kernels carry jax.custom_batching rules
+        that swap in a lazily-built batched variant under jax.vmap,
+        which is what EnsembleSolver's vmapped step hits.  Mutually
+        exclusive with mesh sharding.
     """
     grid = ops.grid
     if grid.dim == 3:
@@ -234,6 +244,25 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
     # halo rows rounded up to a multiple of 4 so tx + 2*halo stays
     # 8-aligned (tx is a power of two >= 8)
     halo = ((sw + 3) // 4) * 4
+    # ---- member batching (ensemble axis) -------------------------
+    B = int(batch)
+    if B and n_shards > 1:
+        raise ValueError("batched kernels cannot also be mesh-sharded")
+    kgrid = (B, ntiles) if B else (ntiles,)
+    if B:
+        pid = lambda: (pl.program_id(0), pl.program_id(1))
+        scv = lambda sc_ref, b, j: sc_ref[b, j]
+        slab_src = lambda ref, b, i: ref.at[
+            b, :, pl.ds(i * tx, tx + 2 * halo), :
+        ]
+        oix = lambda f: (0, f)
+    else:
+        pid = lambda: (None, pl.program_id(0))
+        scv = lambda sc_ref, b, j: sc_ref[j]
+        slab_src = lambda ref, b, i: ref.at[
+            :, pl.ds(i * tx, tx + 2 * halo), :
+        ]
+        oix = lambda f: (f,)
     cs1x = deriv_coeffs(1, sw, ops.spacing[0])
     cs2x = deriv_coeffs(2, sw, ops.spacing[0])
     cs1y = deriv_coeffs(1, sw, ops.spacing[1])
@@ -271,31 +300,29 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         # kernel; subtracting them before differencing removes the
         # catastrophic f32 cancellation of O(1e4) fields with O(1e-4)
         # derivatives.
-        i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            u_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], slab, sem
-        )
+        b, i = pid()
+        cp = pltpu.make_async_copy(slab_src(u_ref, b, i), slab, sem)
         cp.start()
         cp.wait()
-        t = sc_ref[0]
+        t = scv(sc_ref, b, 0)
         fields = groom_slab(slab[:])
         rho, Us = fields[0], fields[1:]
         G = G_fn(rho, *Us, t)
-        Gc = G - sc_ref[1 + dof]          # centered free energy
-        rho_c = rho - sc_ref[1]
+        Gc = G - scv(sc_ref, b, 1 + dof)  # centered free energy
+        rho_c = rho - scv(sc_ref, b, 1)
         center = rho[halo : halo + tx, :]
         drho = graddot(rho_c, Gc) + center * lap(Gc)
-        o_ref[0, :, :] = drho
+        o_ref[oix(0)] = drho
         for l in range(dof - 1):
-            Uc = Us[l] - sc_ref[2 + l]
+            Uc = Us[l] - scv(sc_ref, b, 2 + l)
             rc = rho_c[halo : halo + tx, :]
             dU = (
                 -lig[l]["gamma"](t) * Uc[halo : halo + tx, :]
                 + lig[l]["s"](t) * rc
-                + sc_ref[2 + dof + l]      # f64 mean-level balance
+                + scv(sc_ref, b, 2 + dof + l)  # f64 mean-level balance
                 + lig[l]["D"](t) * lap(Uc)
             )
-            o_ref[1 + l, :, :] = dU
+            o_ref[oix(1 + l)] = dU
 
     def _jvp_rows(t, slab, vslab):
         """The J-action rows on the tile interior (shared by the jvp
@@ -332,20 +359,16 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         return rows
 
     def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
-        i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            u_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], slab, sem
-        )
+        b, i = pid()
+        cp = pltpu.make_async_copy(slab_src(u_ref, b, i), slab, sem)
         cp.start()
-        cpv = pltpu.make_async_copy(
-            v_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], vslab, vsem
-        )
+        cpv = pltpu.make_async_copy(slab_src(v_ref, b, i), vslab, vsem)
         cpv.start()
         cp.wait()
         cpv.wait()
-        rows = _jvp_rows(t_ref[0], slab, vslab)
+        rows = _jvp_rows(scv(t_ref, b, 0), slab, vslab)
         for f in range(dof):
-            o_ref[f, :, :] = rows[f]
+            o_ref[oix(f)] = rows[f]
 
     def resid_kernel(
         sc_ref, u_ref, v_ref, b_ref, o_ref, slab, vslab, sem, vsem
@@ -355,22 +378,18 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         # b arrives as an auto-blocked VMEM tile (no halo needed); the
         # shift term uses the RAW tangent (W = shift*I - J with the
         # clamp zeroing J's rows only).
-        i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            u_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], slab, sem
-        )
+        b, i = pid()
+        cp = pltpu.make_async_copy(slab_src(u_ref, b, i), slab, sem)
         cp.start()
-        cpv = pltpu.make_async_copy(
-            v_ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], vslab, vsem
-        )
+        cpv = pltpu.make_async_copy(slab_src(v_ref, b, i), vslab, vsem)
         cpv.start()
         cp.wait()
         cpv.wait()
-        shift = sc_ref[1]
-        rows = _jvp_rows(sc_ref[0], slab, vslab)
+        shift = scv(sc_ref, b, 1)
+        rows = _jvp_rows(scv(sc_ref, b, 0), slab, vslab)
         for f in range(dof):
             v_c = vslab[f][halo : halo + tx, :]
-            o_ref[f, :, :] = b_ref[f, :, :] - shift * v_c + rows[f]
+            o_ref[oix(f)] = b_ref[oix(f)] - shift * v_c + rows[f]
 
     G_delta_fn = getattr(ops, "_G_delta_fn", None)
 
@@ -387,28 +406,26 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         # increment of G (ops/delta.py), so every differenced quantity
         # is either small (drho, dG) or centered (G0c, rho0c).  The
         # shifted-state slab feeds the clamp-to-floor branch of dG.
-        i = pl.program_id(0)
+        b, i = pid()
         cps = []
         for ref, scratch, s in (
             (u_ref, slab, sem), (d_ref, dslab, dsem), (s_ref, sslab, ssem),
         ):
-            cp = pltpu.make_async_copy(
-                ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], scratch, s
-            )
+            cp = pltpu.make_async_copy(slab_src(ref, b, i), scratch, s)
             cp.start()
             cps.append(cp)
         for cp in cps:
             cp.wait()
-        t = sc_ref[0]
+        t = scv(sc_ref, b, 0)
         rho0 = slab[0]
         Us0 = [slab[1 + l] for l in range(dof - 1)]
         drho = dslab[0]
         dUs = [dslab[1 + l] for l in range(dof - 1)]
         f1 = [sslab[l] for l in range(dof)]
-        G0c = G_fn(rho0, *Us0, t) - sc_ref[2]
+        G0c = G_fn(rho0, *Us0, t) - scv(sc_ref, b, 2)
         dG = G_delta_fn(rho0, *Us0, drho, *dUs, *f1, t)
         Gs = G0c + dG
-        rho0c = rho0 - sc_ref[1]
+        rho0c = rho0 - scv(sc_ref, b, 1)
         drho_i = drho[halo : halo + tx, :]
         rho0_i = rho0[halo : halo + tx, :]
         ddrho = (
@@ -417,9 +434,9 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
             + drho_i * lap(Gs)
             + rho0_i * lap(dG)
         )
-        o_ref[0, :, :] = ddrho
+        o_ref[oix(0)] = ddrho
         for l in range(dof - 1):
-            o_ref[1 + l, :, :] = (
+            o_ref[oix(1 + l)] = (
                 -lig[l]["gamma"](t) * dUs[l][halo : halo + tx, :]
                 + lig[l]["s"](t) * drho_i
                 + lig[l]["D"](t) * lap(dUs[l])
@@ -432,9 +449,12 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
         # periodic wraparound is the ring closure, exactly the DMDA
         # boundary type of the reference (KSFD/ksfdgrid.py:139).
         if n_shards == 1:
-            return jnp.concatenate(
-                [u[:, -halo:, :], u, u[:, :halo, :]], axis=1
-            )
+            # x is always the second-to-last axis ((dof, nx, ny) or,
+            # batched, (B, dof, nx, ny))
+            ax = u.ndim - 2
+            lo = (slice(None),) * ax + (slice(-halo, None),)
+            hi = (slice(None),) * ax + (slice(None, halo),)
+            return jnp.concatenate([u[lo], u, u[hi]], axis=ax)
         fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
         left = jax.lax.ppermute(u[:, -halo:, :], axis_x, perm=fwd)
@@ -456,15 +476,26 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
             check_vma=False,
         )
 
-    out_shape = jax.ShapeDtypeStruct((dof, nx_loc, ny), jnp.float32)
-    grid_spec_rhs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
+    if B:
+        out_shape = jax.ShapeDtypeStruct(
+            (B, dof, nx_loc, ny), jnp.float32
+        )
+        # tiled (VMEM-blocked) refs: one member, one x-tile per block
+        tile_blk = pl.BlockSpec(
+            (1, dof, tx, ny), lambda b, i, t: (b, i * 0, i, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((dof, nx_loc, ny), jnp.float32)
+        tile_blk = pl.BlockSpec(
             (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
             memory_space=pltpu.VMEM,
-        ),
+        )
+    grid_spec_rhs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=kgrid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tile_blk,
         scratch_shapes=[
             pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -472,15 +503,12 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
     )
     grid_spec_jvp = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=kgrid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=tile_blk,
         scratch_shapes=[
             pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
             pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
@@ -505,19 +533,13 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
 
     grid_spec_resid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=kgrid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
+            tile_blk,
         ],
-        out_specs=pl.BlockSpec(
-            (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=tile_blk,
         scratch_shapes=[
             pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
             pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
@@ -534,16 +556,13 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
 
     grid_spec_delta = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=kgrid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=tile_blk,
         scratch_shapes=[
             pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
             pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
@@ -564,6 +583,46 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
     jvp_sharded = shardwrap(jvp_local, 2)
     delta_sharded = shardwrap(delta_local, 3)
     resid_sharded = shardwrap(resid_local, 3)
+
+    if B == 0 and n_shards == 1:
+        # Ensemble batching: pl.pallas_call has no usable batching rule
+        # for these ANY-space manual-DMA kernels, so each sc-level
+        # kernel wrapper carries a jax.custom_batching rule that swaps
+        # in a lazily-built member-batched variant (grid (B, ntiles))
+        # under jax.vmap — EnsembleSolver's vmapped step then runs the
+        # fused kernels instead of falling back to the XLA path.
+        import functools
+
+        from jax.custom_batching import custom_vmap
+
+        @functools.lru_cache(maxsize=4)
+        def _batched_kernels(nb):
+            return make_pallas_kernels(
+                ops, tile_x=tile_x, interpret=interpret, batch=nb
+            )._locals
+
+        def _vmappable(fn, name):
+            cv = custom_vmap(fn)
+
+            @cv.def_vmap
+            def _rule(axis_size, in_batched, *args):
+                bfn = _batched_kernels(int(axis_size))[name]
+                args = [
+                    a
+                    if ib
+                    else jnp.broadcast_to(
+                        a, (int(axis_size),) + jnp.shape(a)
+                    )
+                    for a, ib in zip(args, in_batched)
+                ]
+                return bfn(*args), True
+
+            return cv
+
+        rhs_sharded = _vmappable(rhs_sharded, "rhs")
+        jvp_sharded = _vmappable(jvp_sharded, "jvp")
+        delta_sharded = _vmappable(delta_sharded, "delta")
+        resid_sharded = _vmappable(resid_sharded, "resid")
 
     @jax.jit
     def rhs_fn(u, t):
@@ -628,5 +687,11 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None):
     from types import SimpleNamespace
 
     return SimpleNamespace(
-        rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn, resid=resid_fn
+        rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn, resid=resid_fn,
+        # sc-level kernel wrappers, used by the custom_vmap batching
+        # rules of an unbatched build to reach a batched one
+        _locals=dict(
+            rhs=rhs_sharded, jvp=jvp_sharded, delta=delta_sharded,
+            resid=resid_sharded,
+        ),
     )

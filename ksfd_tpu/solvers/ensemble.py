@@ -108,31 +108,16 @@ class EnsembleSolver:
         )
         self.monitors = []
         self.tableau = get_tableau(self.numerics.ts_type)
-        # vmap cannot batch the fused Pallas kernels on TPU (Mosaic
-        # rejects batched blocks in memory space ANY), so the ensemble
-        # step always uses the sharding-transparent XLA path; the
-        # member batching itself recovers the device utilization the
-        # kernels provide for single trajectories.
-        import dataclasses
-
-        nm = dataclasses.replace(self.numerics, use_pallas=False)
-        self.numerics = nm
-        step, _ = make_step_fn(
-            self.ops, self.numerics, atol=self.atol, rtol=self.rtol
-        )
-        self._vstep = jax.jit(jax.vmap(step))
         self.block_steps = int(block_steps)
+        # The vmapped step functions are built lazily in solve(): on
+        # unsharded members the fused Pallas kernels batch through
+        # their jax.custom_batching rules (pallas_stencil), but with
+        # the MEMBER axis sharded over devices the pallas_call cannot
+        # be partitioned along its batch grid dimension, so sharded
+        # ensembles use the sharding-transparent XLA step instead.
+        self._vstep = None
         self._vmulti = None
-        if self.block_steps > 1 and self.numerics.adapt_type == "none":
-            from .solver import make_multistep_fn
-
-            multi, _ = make_multistep_fn(
-                self.ops, self.numerics, atol=self.atol, rtol=self.rtol
-            )
-            self._vmulti = jax.jit(
-                jax.vmap(multi, in_axes=(0, 0, 0, None)),
-                static_argnums=3,
-            )
+        self._vstep_flavor = None
         self._vgroom = jax.jit(jax.vmap(self.ops.groom))
         self._vfallback = None
         self._vmax_fn = jax.jit(
@@ -188,6 +173,35 @@ class EnsembleSolver:
             )
         return np.maximum(h * hfac, n.dt_min)
 
+    def _build_steps(self, members_sharded):
+        """(Re)build the vmapped step functions for the input flavor."""
+        import dataclasses
+
+        flavor = "xla" if members_sharded else "auto"
+        if self._vstep_flavor == flavor:
+            return
+        nm = self.numerics
+        if members_sharded:
+            nm = dataclasses.replace(nm, use_pallas=False)
+        self._nm_eff = nm
+        step, _ = make_step_fn(
+            self.ops, nm, atol=self.atol, rtol=self.rtol
+        )
+        self._vstep = jax.jit(jax.vmap(step))
+        self._vmulti = None
+        if self.block_steps > 1 and nm.adapt_type == "none":
+            from .solver import make_multistep_fn
+
+            multi, _ = make_multistep_fn(
+                self.ops, nm, atol=self.atol, rtol=self.rtol
+            )
+            self._vmulti = jax.jit(
+                jax.vmap(multi, in_axes=(0, 0, 0, None)),
+                static_argnums=3,
+            )
+        self._vfallback = None
+        self._vstep_flavor = flavor
+
     def _get_vfallback(self):
         if self.numerics.ksp_type not in ("richardson",):
             return None
@@ -195,7 +209,7 @@ class EnsembleSolver:
             import dataclasses
 
             nm = dataclasses.replace(
-                self.numerics, ksp_type="gmres_scipy",
+                self._nm_eff, ksp_type="gmres_scipy",
                 ksp_restart=12, ksp_max_it=4, stage_delta=False,
             )
             fb, _ = make_step_fn(
@@ -291,6 +305,11 @@ class EnsembleSolver:
         adapt = n.adapt_type != "none"
         U = jnp.asarray(U0)
         N = U.shape[0]
+        members_sharded = (
+            getattr(U, "sharding", None) is not None
+            and len(U.sharding.device_set) > 1
+        )
+        self._build_steps(members_sharded)
         vrefresh = None
         if hasattr(self.ops, "refresh_G"):
             vrefresh = jax.jit(jax.vmap(self.ops.refresh_G))

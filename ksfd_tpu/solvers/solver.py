@@ -361,6 +361,31 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 u1 = u1 + (h * tab.b[j]) * fs[j]
                 uhat = uhat + (h * tab.bhat[j]) * fs[j]
         else:
+            # Rosenbrock stage RHS in f32 when its ONLY consumer is the
+            # f32 sweep chain (mixed path + delta kernel): fi = f32(f0)
+            # + delta skips the f64 add and the downcast pass per stage
+            # (~75 MB/stage at 1024²).  The f32(f0+delta) and
+            # f32(f0)+delta roundings differ by f32 eps of |f0| either
+            # way — the solve input's established envelope.  NOT
+            # applied on the DIRK path, whose stage RHS values feed
+            # f64 solution combinations.
+            stage_eval_b = stage_eval
+            if mixed32 and pallas_delta is not None:
+                f032 = f0.astype(jnp.float32)
+
+                def stage_eval_b(Ui, ti):
+                    Ug = ops.groom(Ui)
+                    fi = f032 + pallas_delta(u, Ug - u, Ug, t)
+                    for isrc, active in enumerate(ops._source_active):
+                        if active and ops.sources[isrc].tdep:
+                            fi = fi.at[isrc].add(
+                                (
+                                    ops.sources[isrc](ti)
+                                    - ops.sources[isrc](t)
+                                ).astype(jnp.float32)
+                            )
+                    return fi
+
             Ys = []
             _up = lambda y: y.astype(u.dtype)
             # Combination dtype for the stage increments.  On the
@@ -389,7 +414,7 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 if i == 0 and tab.alpha[0] == 0.0:
                     bi = f0
                 else:
-                    bi = stage_eval(Ui, t + tab.alpha[i] * h)
+                    bi = stage_eval_b(Ui, t + tab.alpha[i] * h)
                 csum = _ysum(tab.c[i][:i], scale=1.0 / h)
                 if csum is not None:
                     if mixed32:

@@ -153,3 +153,56 @@ def test_ensemble_noise_streams_differ(prob):
     assert not out.diverged.any()
     d = np.abs(np.asarray(out.u[0]) - np.asarray(out.u[1])).max()
     assert d > 1e-8  # injections actually differed between members
+
+
+def test_ensemble_uses_batched_pallas_step(monkeypatch):
+    """On a Pallas-capable problem the unsharded ensemble keeps
+    use_pallas on (the custom_batching rules batch the kernels) and
+    the vmapped step matches per-member scalar stepping."""
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    from helpers import make_clargs, OPTIONS92_PARAMS
+    from ksfd_tpu import Grid, SolutionParameters
+    from ksfd_tpu.ops import PDEOperators
+    from ksfd_tpu.solvers import make_step_fn
+
+    params = [
+        p for p in OPTIONS92_PARAMS
+        if p.split("=", 1)[0]
+        not in ("nelements", "dim", "rho0", "U0_1_1", "U0_2_1")
+    ] + ["nelements=32", "dim=2", "height=1", "rho0=murho",
+         "U0_1_1=", "U0_2_1="]
+    ps = SolutionParameters(make_clargs(params=params))
+    grid = Grid(dim=2, width=1.0, height=1.0, nx=32, ny=32, dof=3,
+                order=3)
+    ops = PDEOperators(ps, grid)
+    rng = np.random.default_rng(5)
+    base = np.stack([
+        6000 + 3000 * np.abs(rng.standard_normal(grid.Sshape)),
+        6000 + 1000 * np.abs(rng.standard_normal(grid.Sshape)),
+        6000 + 500 * np.abs(rng.standard_normal(grid.Sshape)),
+    ])
+    U0 = np.stack([base, base * 1.01])
+
+    es = EnsembleSolver(ops, NumericsOptions(adapt_type="none"),
+                        t0=0.0, dt=1e-3, tmax=1e9, maxsteps=2,
+                        rtol=1e-6, atol=0.01)
+    out = es.solve(jnp.asarray(U0))
+    # the step must have been built WITH pallas (flavor auto)
+    assert es._vstep_flavor == "auto"
+    assert es._nm_eff.use_pallas
+    assert (out.k == 2).all()
+
+    # per-member scalar oracle on the same (pallas interpret) path
+    step, _ = make_step_fn(ops, NumericsOptions(adapt_type="none"),
+                           atol=0.01, rtol=1e-6)
+    for i in range(2):
+        u, t = jnp.asarray(U0[i]), 0.0
+        u = ops.groom(u)
+        for _ in range(2):
+            u, _e = step(u, t, 1e-3)
+            u = ops.groom(u)
+            t += 1e-3
+        ref = np.asarray(u)
+        got = np.asarray(out.u[i])
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5

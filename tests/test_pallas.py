@@ -418,3 +418,43 @@ def test_delta_kernel_clamp_to_floor(ops2d):
     out = np.asarray(k.delta(u0, dd, ug, 0.5))
     assert np.all(np.isfinite(out))
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_kernels_vmap_batching(ops2d):
+    """jax.vmap over the kernel wrappers engages the custom_batching
+    rule (member-batched Pallas grid) and matches per-member calls."""
+    ps, grid, ops = ops2d
+    from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels
+
+    kern = make_pallas_kernels(ops, tile_x=16, interpret=True)
+    rng = np.random.default_rng(3)
+    U = np.stack([rough_state(grid) * (1 + 0.01 * i) for i in range(3)])
+    V = rng.standard_normal(U.shape)
+    ts = jnp.asarray([0.25, 0.5, 1.0])
+    Uj = jnp.asarray(U)
+    Vj = jnp.asarray(V)
+
+    out_v = np.asarray(jax.vmap(kern.jvp)(Uj, Vj, ts))
+    out_s = np.stack([
+        np.asarray(kern.jvp(Uj[i], Vj[i], ts[i])) for i in range(3)
+    ])
+    np.testing.assert_allclose(out_v, out_s, rtol=1e-6, atol=1e-6)
+
+    out_v = np.asarray(jax.vmap(kern.rhs)(Uj, ts))
+    out_s = np.stack([
+        np.asarray(kern.rhs(Uj[i], ts[i])) for i in range(3)
+    ])
+    np.testing.assert_allclose(out_v, out_s, rtol=1e-6, atol=1e-6)
+
+    if kern.delta is not None:
+        Ug = jax.vmap(ops.groom)(Uj)
+        D = 1e-3 * Vj
+        U1 = jax.vmap(ops.groom)(Ug + D)
+        out_v = np.asarray(jax.vmap(kern.delta)(Ug, U1 - Ug, U1, ts))
+        out_s = np.stack([
+            np.asarray(
+                kern.delta(Ug[i], (U1 - Ug)[i], U1[i], ts[i])
+            )
+            for i in range(3)
+        ])
+        np.testing.assert_allclose(out_v, out_s, rtol=1e-6, atol=1e-6)
