@@ -147,7 +147,8 @@ class EnsembleSolver:
     def _h_accept_vec(self, h, enorm):
         n = self.numerics
         expo = -1.0 / (self.tableau.order + 1)
-        with np.errstate(divide="ignore", over="ignore"):
+        with np.errstate(divide="ignore", over="ignore",
+                         invalid="ignore"):
             hfac = np.where(
                 enorm <= 0.0,
                 n.clip_high,
@@ -177,11 +178,14 @@ class EnsembleSolver:
         """(Re)build the vmapped step functions for the input flavor."""
         import dataclasses
 
-        flavor = "xla" if members_sharded else "auto"
+        # Only the 2D kernels carry custom_vmap batching rules; a 3D
+        # (or sharded-member) ensemble must use the XLA step.
+        batchable = self.ops.grid.dim == 2 and not members_sharded
+        flavor = "auto" if batchable else "xla"
         if self._vstep_flavor == flavor:
             return
         nm = self.numerics
-        if members_sharded:
+        if not batchable:
             nm = dataclasses.replace(nm, use_pallas=False)
         self._nm_eff = nm
         step, _ = make_step_fn(
@@ -229,22 +233,27 @@ class EnsembleSolver:
         return hmaxs.min(axis=1)
 
     def _cfl_clamp(self, U, ts, hs, active):
-        sf = [
-            float(self.ps.values(float(t))["CFL_safety_factor"])
-            for t in ts
-        ]
-        sf = np.asarray(sf)
+        # Constant factor (the usual case): ONE values0 read, no
+        # per-member full-parameter evaluation on the hot host loop.
+        if "CFL_safety_factor" in self.ps.tdfuncs:
+            fn = self.ps.funcs["CFL_safety_factor"]
+            sf = np.asarray([float(fn(float(t))) for t in ts])
+        else:
+            s0 = float(
+                self.ps.values0.get("CFL_safety_factor", 0.0) or 0.0
+            )
+            if s0 <= 0.0:
+                return hs
+            sf = np.full(len(ts), s0)
         if not (sf > 0.0).any():
             return hs
         maxh = np.where(sf > 0.0, sf * self._cfl_maxh(U, ts), np.inf)
         return np.where(active, np.minimum(hs, maxh), hs)
 
     def _noise_active(self):
-        v0 = self.ps.values0
-        return (
-            bool(v0.get("variance_rate", 0.0))
-            or "variance_rate" in self.ps.tdfuncs
-        )
+        from .solver import noise_active
+
+        return noise_active(self.ps)
 
     def _inject_noise(self, U, ts, lastvart, accepted, conserve, Nw0):
         """Per-member geometric-Brownian injection (Solver.add_variance

@@ -40,7 +40,17 @@ from .steppers import (
 
 logTS = logger("TS")
 
-__all__ = ["make_step_fn", "make_multistep_fn", "Solver"]
+__all__ = ["make_step_fn", "make_multistep_fn", "Solver", "noise_active"]
+
+
+def noise_active(ps):
+    """Whether variance injection is configured at all (shared by the
+    scalar Solver and the EnsembleSolver)."""
+    v0 = ps.values0
+    return (
+        bool(v0.get("variance_rate", 0.0))
+        or "variance_rate" in ps.tdfuncs
+    )
 
 
 def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
@@ -895,11 +905,7 @@ class Solver:
         return s if s > 0.0 else None
 
     def _noise_active(self):
-        v0 = self.ps.values0
-        return (
-            bool(v0.get("variance_rate", 0.0))
-            or "variance_rate" in self.ps.tdfuncs
-        )
+        return noise_active(self.ps)
 
     def _next_noise_time(self, lastvart, tmax):
         """Smallest t in (lastvart, tmax] with VTF(t) - VTF(lastvart)
