@@ -31,8 +31,8 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
-    "Tableau", "DIRKTableau", "ROS34PW2", "BEULER", "ARK324",
-    "get_tableau", "wlte_norm",
+    "Tableau", "DIRKTableau", "ROS34PW2", "BEULER", "ARK324", "ARK436",
+    "get_tableau", "wlte_norm", "wlte_norm_delta",
 ]
 
 
@@ -200,12 +200,42 @@ ARK324 = _dirk(
     embedded_order=2,
 )
 
+# Kennedy & Carpenter (2003) ARK4(3)6L[2]SA — the ESDIRK implicit
+# part of PETSc's TSARKIMEX4, selected by '-ts_arkimex_type 4' (the
+# leftover option in the reference's options84 PETSc block): 6 stages
+# (first explicit), stiffly accurate, L-stable, order 4 with an
+# order-3 embedded pair.  gamma = 1/4; c = [0, 1/2, 83/250, 31/50,
+# 17/20, 1].  Order conditions (sum b = 1, b.c = 1/2, b.c^2 = 1/3,
+# b.c^3 = 1/4, b.A.c = 1/6) pinned by tests/test_arkimex.py.
+ARK436 = _dirk(
+    "ark436l2sa",
+    A=[
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.25, 0.25, 0.0, 0.0, 0.0, 0.0],
+        [8611.0 / 62500.0, -1743.0 / 31250.0, 0.25, 0.0, 0.0, 0.0],
+        [5012029.0 / 34652500.0, -654441.0 / 2922500.0,
+         174375.0 / 388108.0, 0.25, 0.0, 0.0],
+        [15267082809.0 / 155376265600.0, -71443401.0 / 120774400.0,
+         730878875.0 / 902184768.0, 2285395.0 / 8070912.0, 0.25, 0.0],
+        [82889.0 / 524892.0, 0.0, 15625.0 / 83664.0,
+         69875.0 / 102672.0, -2260.0 / 8211.0, 0.25],
+    ],
+    b=[82889.0 / 524892.0, 0.0, 15625.0 / 83664.0,
+       69875.0 / 102672.0, -2260.0 / 8211.0, 0.25],
+    bhat=[4586570599.0 / 29645900160.0, 0.0,
+          178811875.0 / 945068544.0, 814220225.0 / 1159782912.0,
+          -3700637.0 / 11593932.0, 61727.0 / 225920.0],
+    order=4,
+    embedded_order=3,
+)
+
 _TABLEAUS = {
     "rosw": ROS34PW2,
     "ros34pw2": ROS34PW2,
     "beuler": BEULER,
     "arkimex": ARK324,
     "ark324": ARK324,
+    "ark436": ARK436,
 }
 
 

@@ -202,6 +202,7 @@ def decode_numerics(tokens, petsc_tokens=()):
     opts = NumericsOptions()
     toks = list(petsc_tokens) + list(tokens)
     i = 0
+    arkimex_scheme = None
 
     def take_value(i):
         if i + 1 < len(toks) and not toks[i + 1].startswith("-"):
@@ -223,6 +224,19 @@ def decode_numerics(tokens, petsc_tokens=()):
             val, i = take_value(i)
             if val in _TS_TYPE_MAP:
                 opts.ts_type = _TS_TYPE_MAP[val]
+            else:
+                opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
+        elif key == "ts_arkimex_type":
+            # PETSc scheme selector within -ts_type arkimex: '3' is
+            # ARKIMEX3 (ARK3(2)4L[2]SA, our default), '4' is ARKIMEX4
+            # (ARK4(3)6L[2]SA) — the leftover flag in the reference's
+            # options84 PETSc block.  Applied after the loop iff the
+            # chosen ts_type is the arkimex family.
+            val, i = take_value(i)
+            if val in ("3", "ark324", "ark324l2sa"):
+                arkimex_scheme = "ark324"
+            elif val in ("4", "ark436", "ark436l2sa"):
+                arkimex_scheme = "ark436"
             else:
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
         elif key == "ts_adapt_type":
@@ -335,6 +349,10 @@ def decode_numerics(tokens, petsc_tokens=()):
             val, i = take_value(i)
             ent = tok if val is None else "{t} {v}".format(t=tok, v=val)
             opts.unrecognized.append(ent)
+    if arkimex_scheme is not None and opts.ts_type in (
+        "arkimex", "ark324", "ark436",
+    ):
+        opts.ts_type = arkimex_scheme
     if opts.unrecognized:
         logMAIN("ignored numerics options:", opts.unrecognized)
     return opts

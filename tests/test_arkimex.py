@@ -99,3 +99,67 @@ def test_arkimex_adaptive():
     # h accelerates well past tmax; at nx=32 the spatial floor
     # dominates — the check is stability + tracking of the growing mode
     assert np.abs(u - exact_state(ps, grid, s.t)).max() < 2e-2
+
+
+def test_ark436_order_conditions():
+    """ARK4(3)6L[2]SA (PETSc -ts_arkimex_type 4, implicit part):
+    quadrature conditions through order 4 and stiff accuracy."""
+    from ksfd_tpu.solvers.steppers import get_tableau
+
+    tab = get_tableau("ark436")
+    A = np.array(tab.A)
+    b = np.array(tab.b)
+    bh = np.array(tab.bhat)
+    c = np.array(tab.c)
+    assert tab.stages == 6 and tab.gamma == 0.25
+    assert b.sum() == pytest.approx(1.0, abs=1e-14)
+    assert b @ c == pytest.approx(0.5, abs=1e-14)
+    assert b @ c**2 == pytest.approx(1.0 / 3.0, abs=1e-13)
+    assert b @ c**3 == pytest.approx(0.25, abs=1e-13)
+    assert b @ A @ c == pytest.approx(1.0 / 6.0, abs=1e-13)
+    assert bh.sum() == pytest.approx(1.0, abs=1e-13)
+    assert bh @ c == pytest.approx(0.5, abs=1e-13)
+    # embedded pair is order 3, NOT 4 (the estimate must see the
+    # order-4 error)
+    assert abs(bh @ c**3 - 0.25) > 1e-3
+    np.testing.assert_allclose(A[-1], b, atol=1e-15)  # stiffly accurate
+
+
+def test_ark436_matches_rosw_trajectory():
+    """Same problem, same dt: the order-4 pair agrees with ROSW far
+    below the discretization error (and closer to the fine-dt truth)."""
+    ps, grid, ops = make_problem(nx=64)
+    u0 = exact_state(ps, grid, 0.0)
+    u_rosw, s1 = _run_fixed(ops, u0, "rosw", 1.0, 20)
+    u_ark, s2 = _run_fixed(ops, u0, "ark436", 1.0, 20, snes_iters=2)
+    assert s2.snes_failures == 0
+    assert np.abs(u_rosw - u_ark).max() < 5e-8
+
+
+def test_ark436_fourth_order_in_time():
+    """Self-convergence at design order 4 (Newton solved tightly so
+    the stage-solve error does not mask the LTE)."""
+    ps, grid, ops = make_problem(nx=64)
+    u0 = exact_state(ps, grid, 0.0)
+    T = 128.0
+    kw = dict(snes_iters=3)
+    ref, _ = _run_fixed(ops, u0, "ark436", 2.0, int(T / 2.0), **kw)
+    errs = [
+        np.abs(
+            _run_fixed(ops, u0, "ark436", dt, int(T / dt), **kw)[0] - ref
+        ).max()
+        for dt in (64.0, 32.0, 16.0)
+    ]
+    orders = [math.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    assert min(orders) > 3.5, (errs, orders)
+
+
+def test_decode_arkimex_type_4():
+    opts = decode_numerics(
+        ["-ts_type", "arkimex", "-ts_arkimex_type", "4",
+         "-snes_type", "ksponly"]
+    )
+    assert opts.ts_type == "ark436"
+    # the selector alone (no arkimex ts_type) must not hijack rosw
+    opts = decode_numerics(["-ts_type", "rosw", "-ts_arkimex_type", "4"])
+    assert opts.ts_type == "rosw"
