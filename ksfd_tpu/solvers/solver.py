@@ -31,12 +31,7 @@ from .gmres import (
     richardson_solve,
     richardson_solve_resid,
 )
-from .steppers import (
-    DIRKTableau,
-    get_tableau,
-    wlte_norm,
-    wlte_norm_delta,
-)
+from .steppers import DIRKTableau, get_tableau, wlte_norm_delta
 
 logTS = logger("TS")
 
@@ -365,11 +360,20 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                     Ui = Ui - shift * solve(res).astype(u.dtype)
                     fUi = stage_eval(Ui, ti)
                 fs.append(fUi)
+            # same direct embedded-difference accumulation as the
+            # Rosenbrock path below: d = h*sum_j (bhat_j - b_j) f_j
+            # with exact coefficient differences, zero weights skipped
             u1 = u
-            uhat = u
+            d = None
             for j in range(tab.stages):
-                u1 = u1 + (h * tab.b[j]) * fs[j]
-                uhat = uhat + (h * tab.bhat[j]) * fs[j]
+                if tab.b[j]:
+                    u1 = u1 + (h * tab.b[j]) * fs[j]
+                db = tab.bhat[j] - tab.b[j]
+                if db:
+                    term = (h * db) * fs[j]
+                    d = term if d is None else d + term
+            enorm = wlte_norm_delta(u1, d, atol, rtol)
+            return u, u1, enorm
         else:
             # Rosenbrock stage RHS in f32 when its ONLY consumer is the
             # f32 sweep chain (mixed path + delta kernel): fi = f32(f0)
@@ -453,8 +457,6 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                     d = term if d is None else d + term
             enorm = wlte_norm_delta(u1, d, atol, rtol)
             return u, u1, enorm
-        enorm = wlte_norm(u1, uhat, atol, rtol)
-        return u, u1, enorm
 
     def step(u, t, h):
         _, u1, enorm = _step_core(u, t, h)

@@ -349,9 +349,7 @@ def decode_numerics(tokens, petsc_tokens=()):
             val, i = take_value(i)
             ent = tok if val is None else "{t} {v}".format(t=tok, v=val)
             opts.unrecognized.append(ent)
-    if arkimex_scheme is not None and opts.ts_type in (
-        "arkimex", "ark324", "ark436",
-    ):
+    if arkimex_scheme is not None and opts.ts_type == "arkimex":
         opts.ts_type = arkimex_scheme
     if opts.unrecognized:
         logMAIN("ignored numerics options:", opts.unrecognized)
