@@ -82,9 +82,11 @@ def pallas3d_available(grid, ops=None):
         return False
 
 
-def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
+def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
+                           batch=0):
     """Build the fused 3D kernels.  Same contract as
-    pallas_stencil.make_pallas_kernels (returns .rhs/.jvp/.delta)."""
+    pallas_stencil.make_pallas_kernels (returns .rhs/.jvp/.delta),
+    including the member-batched build + custom_vmap rules (batch=)."""
     from types import SimpleNamespace
 
     grid = ops.grid
@@ -114,6 +116,25 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
     ntiles = nx_loc // tx
     # x halo rows rounded to keep tx + 2*halo 8-row aligned (cf. 2D)
     halo = ((sw + 3) // 4) * 4
+    # member batching (see pallas_stencil.py — same scheme)
+    B = int(batch)
+    if B and n_shards > 1:
+        raise ValueError("batched kernels cannot also be mesh-sharded")
+    kgrid = (B, ntiles) if B else (ntiles,)
+    if B:
+        pid = lambda: (pl.program_id(0), pl.program_id(1))
+        scv = lambda sc_ref, b, j: sc_ref[b, j]
+        slab_src = lambda ref, b, i: ref.at[
+            b, :, pl.ds(i * tx, tx + 2 * halo), :
+        ]
+        oix = lambda f: (0, f)
+    else:
+        pid = lambda: (None, pl.program_id(0))
+        scv = lambda sc_ref, b, j: sc_ref[j]
+        slab_src = lambda ref, b, i: ref.at[
+            :, pl.ds(i * tx, tx + 2 * halo), :
+        ]
+        oix = lambda f: (f,)
     cs1 = [deriv_coeffs(1, sw, ops.spacing[d]) for d in range(3)]
     cs2 = [deriv_coeffs(2, sw, ops.spacing[d]) for d in range(3)]
     rhomin = np.float32(ops.rhomin)
@@ -186,10 +207,8 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
         Us = [jnp.maximum(slab[1 + l], umin) for l in range(dof - 1)]
         return [rho] + Us
 
-    def _copy_in(ref, scratch, sem, i):
-        cp = pltpu.make_async_copy(
-            ref.at[:, pl.ds(i * tx, tx + 2 * halo), :], scratch, sem
-        )
+    def _copy_in(ref, scratch, sem, b, i):
+        cp = pltpu.make_async_copy(slab_src(ref, b, i), scratch, sem)
         cp.start()
         return cp
 
@@ -198,21 +217,21 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
         # sc layout matches the 2D kernel: [t, means..., G_mean,
         # reaction balances...] (f64-computed outside; centering
         # removes the catastrophic f32 cancellation on O(1e4) fields)
-        i = pl.program_id(0)
-        _copy_in(u_ref, slab, sem, i).wait()
-        t = sc_ref[0]
+        b, i = pid()
+        _copy_in(u_ref, slab, sem, b, i).wait()
+        t = scv(sc_ref, b, 0)
         fields = groom_slab(slab[:])
         rho, Us = fields[0], fields[1:]
         G = G_fn(rho, *Us, t)
-        Gc = G - sc_ref[1 + dof]
-        rho_c = rho - sc_ref[1]
-        o_ref[0, :, :] = graddot(rho_c, Gc) + rho[ix, :] * lap(Gc)
+        Gc = G - scv(sc_ref, b, 1 + dof)
+        rho_c = rho - scv(sc_ref, b, 1)
+        o_ref[oix(0)] = graddot(rho_c, Gc) + rho[ix, :] * lap(Gc)
         for l in range(dof - 1):
-            Uc = Us[l] - sc_ref[2 + l]
-            o_ref[1 + l, :, :] = (
+            Uc = Us[l] - scv(sc_ref, b, 2 + l)
+            o_ref[oix(1 + l)] = (
                 -lig[l]["gamma"](t) * Uc[ix, :]
                 + lig[l]["s"](t) * rho_c[ix, :]
-                + sc_ref[2 + dof + l]
+                + scv(sc_ref, b, 2 + dof + l)
                 + lig[l]["D"](t) * lap(Uc)
             )
 
@@ -245,62 +264,62 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
         return rows
 
     def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
-        i = pl.program_id(0)
-        cp = _copy_in(u_ref, slab, sem, i)
-        cpv = _copy_in(v_ref, vslab, vsem, i)
+        b, i = pid()
+        cp = _copy_in(u_ref, slab, sem, b, i)
+        cpv = _copy_in(v_ref, vslab, vsem, b, i)
         cp.wait()
         cpv.wait()
-        rows = _jvp_rows(t_ref[0], slab, vslab)
+        rows = _jvp_rows(scv(t_ref, b, 0), slab, vslab)
         for f in range(dof):
-            o_ref[f, :, :] = rows[f]
+            o_ref[oix(f)] = rows[f]
 
     def resid_kernel(
         sc_ref, u_ref, v_ref, b_ref, o_ref, slab, vslab, sem, vsem
     ):
         # fused Richardson residual (see the 2D resid_kernel);
         # sc = [t, shift]; b is an auto-blocked VMEM tile
-        i = pl.program_id(0)
-        cp = _copy_in(u_ref, slab, sem, i)
-        cpv = _copy_in(v_ref, vslab, vsem, i)
+        b, i = pid()
+        cp = _copy_in(u_ref, slab, sem, b, i)
+        cpv = _copy_in(v_ref, vslab, vsem, b, i)
         cp.wait()
         cpv.wait()
-        shift = sc_ref[1]
-        rows = _jvp_rows(sc_ref[0], slab, vslab)
+        shift = scv(sc_ref, b, 1)
+        rows = _jvp_rows(scv(sc_ref, b, 0), slab, vslab)
         for f in range(dof):
             v_c = vslab[f][ix, :]
-            o_ref[f, :, :] = b_ref[f, :, :] - shift * v_c + rows[f]
+            o_ref[oix(f)] = b_ref[oix(f)] - shift * v_c + rows[f]
 
     def delta_kernel(
         sc_ref, u_ref, d_ref, s_ref, o_ref, slab, dslab, sslab,
         sem, dsem, ssem,
     ):
         # see the 2D delta_kernel derivation (pallas_stencil.py)
-        i = pl.program_id(0)
+        b, i = pid()
         cps = [
-            _copy_in(u_ref, slab, sem, i),
-            _copy_in(d_ref, dslab, dsem, i),
-            _copy_in(s_ref, sslab, ssem, i),
+            _copy_in(u_ref, slab, sem, b, i),
+            _copy_in(d_ref, dslab, dsem, b, i),
+            _copy_in(s_ref, sslab, ssem, b, i),
         ]
         for cp in cps:
             cp.wait()
-        t = sc_ref[0]
+        t = scv(sc_ref, b, 0)
         rho0 = slab[0]
         Us0 = [slab[1 + l] for l in range(dof - 1)]
         drho = dslab[0]
         dUs = [dslab[1 + l] for l in range(dof - 1)]
         f1 = [sslab[l] for l in range(dof)]
-        G0c = G_fn(rho0, *Us0, t) - sc_ref[2]
+        G0c = G_fn(rho0, *Us0, t) - scv(sc_ref, b, 2)
         dG = G_delta_fn(rho0, *Us0, drho, *dUs, *f1, t)
         Gs = G0c + dG
-        rho0c = rho0 - sc_ref[1]
-        o_ref[0, :, :] = (
+        rho0c = rho0 - scv(sc_ref, b, 1)
+        o_ref[oix(0)] = (
             graddot(drho, Gs)
             + graddot(rho0c, dG)
             + drho[ix, :] * lap(Gs)
             + rho0[ix, :] * lap(dG)
         )
         for l in range(dof - 1):
-            o_ref[1 + l, :, :] = (
+            o_ref[oix(1 + l)] = (
                 -lig[l]["gamma"](t) * dUs[l][ix, :]
                 + lig[l]["s"](t) * drho[ix, :]
                 + lig[l]["D"](t) * lap(dUs[l])
@@ -311,9 +330,10 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
         """x halo on the folded (dof, nx_loc, L) block: periodic
         self-wrap single-shard, ppermute ring exchange sharded."""
         if n_shards == 1:
-            return jnp.concatenate(
-                [u[:, -halo:, :], u, u[:, :halo, :]], axis=1
-            )
+            ax = u.ndim - 2
+            lo = (slice(None),) * ax + (slice(-halo, None),)
+            hi = (slice(None),) * ax + (slice(None, halo),)
+            return jnp.concatenate([u[lo], u, u[hi]], axis=ax)
         fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
         left = jax.lax.ppermute(u[:, -halo:, :], axis_x, perm=fwd)
@@ -334,17 +354,24 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
             check_vma=False,
         )
 
-    out_shape = jax.ShapeDtypeStruct((dof, nx_loc, L), jnp.float32)
-    out_spec = pl.BlockSpec(
-        (dof, tx, L), lambda i, t: (i * 0, i, i * 0),
-        memory_space=pltpu.VMEM,
-    )
+    if B:
+        out_shape = jax.ShapeDtypeStruct((B, dof, nx_loc, L), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (1, dof, tx, L), lambda b, i, t: (b, i * 0, i, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((dof, nx_loc, L), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (dof, tx, L), lambda i, t: (i * 0, i, i * 0),
+            memory_space=pltpu.VMEM,
+        )
     slab_t = pltpu.VMEM((dof, tx + 2 * halo, L), jnp.float32)
 
     def grid_spec(n_in):
         return pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(ntiles,),
+            grid=kgrid,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
             out_specs=out_spec,
             scratch_shapes=[slab_t] * n_in
@@ -352,10 +379,11 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
         )
 
     def _fold(u):
-        return u.reshape(dof, u.shape[1], L)
+        # (…, dof, nx, ny, nz) -> (…, dof, nx, L); works batched too
+        return u.reshape(u.shape[:-2] + (L,))
 
     def _unfold(o):
-        return o.reshape(dof, o.shape[1], ny, nz)
+        return o.reshape(o.shape[:-1] + (ny, nz))
 
     _cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
@@ -382,14 +410,11 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
 
     grid_spec_resid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=kgrid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (dof, tx, L), lambda i, t: (i * 0, i, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
+            out_spec,
         ],
         out_specs=out_spec,
         scratch_shapes=[slab_t] * 2 + [pltpu.SemaphoreType.DMA] * 2,
@@ -407,6 +432,42 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
     jvp_sharded = shardwrap(jvp_local, 2)
     delta_sharded = shardwrap(delta_local, 3)
     resid_sharded = shardwrap(resid_local, 3)
+
+    if B == 0 and n_shards == 1:
+        # member batching under jax.vmap — same scheme as the 2D
+        # builder (see pallas_stencil.py)
+        import functools
+
+        from jax.custom_batching import custom_vmap
+
+        @functools.lru_cache(maxsize=4)
+        def _batched_kernels(nb):
+            return make_pallas_kernels_3d(
+                ops, tile_x=tile_x, interpret=interpret, batch=nb
+            )._locals
+
+        def _vmappable(fn, name):
+            cv = custom_vmap(fn)
+
+            @cv.def_vmap
+            def _rule(axis_size, in_batched, *args):
+                bfn = _batched_kernels(int(axis_size))[name]
+                args = [
+                    a
+                    if ib
+                    else jnp.broadcast_to(
+                        a, (int(axis_size),) + jnp.shape(a)
+                    )
+                    for a, ib in zip(args, in_batched)
+                ]
+                return bfn(*args), True
+
+            return cv
+
+        rhs_sharded = _vmappable(rhs_sharded, "rhs")
+        jvp_sharded = _vmappable(jvp_sharded, "jvp")
+        delta_sharded = _vmappable(delta_sharded, "delta")
+        resid_sharded = _vmappable(resid_sharded, "resid")
 
     @jax.jit
     def rhs_fn(u, t):
@@ -460,5 +521,9 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None):
             )
 
     return SimpleNamespace(
-        rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn, resid=resid_fn
+        rhs=rhs_fn, jvp=jvp_fn, delta=delta_fn, resid=resid_fn,
+        _locals=dict(
+            rhs=rhs_sharded, jvp=jvp_sharded, delta=delta_sharded,
+            resid=resid_sharded,
+        ),
     )

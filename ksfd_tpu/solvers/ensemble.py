@@ -178,9 +178,9 @@ class EnsembleSolver:
         """(Re)build the vmapped step functions for the input flavor."""
         import dataclasses
 
-        # Only the 2D kernels carry custom_vmap batching rules; a 3D
-        # (or sharded-member) ensemble must use the XLA step.
-        batchable = self.ops.grid.dim == 2 and not members_sharded
+        # Both the 2D and 3D kernels carry custom_vmap batching rules;
+        # only a sharded-member ensemble must use the XLA step.
+        batchable = not members_sharded
         flavor = "auto" if batchable else "xla"
         if self._vstep_flavor == flavor:
             return

@@ -241,3 +241,35 @@ def test_3d_fft_pc_matches_matmul_pc():
     am = np.asarray(bm.apply_linearized(v, 0.5, 0.0, means, rho_diff=1e-4))
     af = np.asarray(bf.apply_linearized(v, 0.5, 0.0, means, rho_diff=1e-4))
     np.testing.assert_allclose(af, am, rtol=0, atol=5e-5 * np.abs(am).max())
+
+
+def test_pallas3d_vmap_batching(monkeypatch):
+    """jax.vmap over the 3D kernel wrappers engages the member-batched
+    grid and matches per-member calls (cf. the 2D batching test)."""
+    from ksfd_tpu.ops.pallas_stencil import make_pallas_kernels
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = _problem()
+    k = make_pallas_kernels(ops, interpret=True)
+    rng = np.random.default_rng(7)
+    U = np.stack([_rough3d(grid) * (1 + 0.01 * i) for i in range(2)])
+    V = rng.standard_normal(U.shape)
+    ts = jnp.asarray([0.25, 0.75])
+    Uj = jax.vmap(ops.groom)(jnp.asarray(U))
+    Vj = jnp.asarray(V)
+
+    out_v = np.asarray(jax.vmap(k.jvp)(Uj, Vj, ts))
+    out_s = np.stack([
+        np.asarray(k.jvp(Uj[i], Vj[i], ts[i])) for i in range(2)
+    ])
+    np.testing.assert_allclose(out_v, out_s, rtol=1e-6, atol=1e-6)
+
+    if k.delta is not None:
+        D = 10.0 * Vj
+        U1 = jax.vmap(ops.groom)(Uj + D)
+        out_v = np.asarray(jax.vmap(k.delta)(Uj, U1 - Uj, U1, ts))
+        out_s = np.stack([
+            np.asarray(k.delta(Uj[i], (U1 - Uj)[i], U1[i], ts[i]))
+            for i in range(2)
+        ])
+        np.testing.assert_allclose(out_v, out_s, rtol=1e-6, atol=1e-6)
