@@ -84,6 +84,45 @@ def _interpret_forced():
     return os.environ.get("KSFD_PALLAS_INTERPRET", "") not in ("", "0")
 
 
+def member_batching_rules(build_batched, fns):
+    """Attach jax.custom_batching vmap rules to kernel wrappers.
+
+    pl.pallas_call has no usable batching rule for the ANY-space
+    manual-DMA kernels, so an unbatched build's sc-level wrappers each
+    get a custom_vmap rule that swaps in a lazily-built member-batched
+    variant (grid (B, ntiles)) under jax.vmap.  Shared by the 2D and
+    3D kernel builders.
+
+    build_batched(nb) -> dict name->fn of a batch=nb build's _locals;
+    fns: dict name->unbatched wrapper.  Returns the wrapped dict.
+    """
+    import functools
+
+    from jax.custom_batching import custom_vmap
+
+    batched = functools.lru_cache(maxsize=4)(
+        lambda nb: build_batched(nb)
+    )
+
+    def _vmappable(fn, name):
+        cv = custom_vmap(fn)
+
+        @cv.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            bfn = batched(int(axis_size))[name]
+            args = [
+                a
+                if ib
+                else jnp.broadcast_to(a, (int(axis_size),) + jnp.shape(a))
+                for a, ib in zip(args, in_batched)
+            ]
+            return bfn(*args), True
+
+        return cv
+
+    return {name: _vmappable(fn, name) for name, fn in fns.items()}
+
+
 def pallas_available(grid, ops=None):
     """Fused kernels support plain 2D operators on TPU.
 
@@ -591,38 +630,17 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
         # in a lazily-built member-batched variant (grid (B, ntiles))
         # under jax.vmap — EnsembleSolver's vmapped step then runs the
         # fused kernels instead of falling back to the XLA path.
-        import functools
-
-        from jax.custom_batching import custom_vmap
-
-        @functools.lru_cache(maxsize=4)
-        def _batched_kernels(nb):
-            return make_pallas_kernels(
+        wrapped = member_batching_rules(
+            lambda nb: make_pallas_kernels(
                 ops, tile_x=tile_x, interpret=interpret, batch=nb
-            )._locals
-
-        def _vmappable(fn, name):
-            cv = custom_vmap(fn)
-
-            @cv.def_vmap
-            def _rule(axis_size, in_batched, *args):
-                bfn = _batched_kernels(int(axis_size))[name]
-                args = [
-                    a
-                    if ib
-                    else jnp.broadcast_to(
-                        a, (int(axis_size),) + jnp.shape(a)
-                    )
-                    for a, ib in zip(args, in_batched)
-                ]
-                return bfn(*args), True
-
-            return cv
-
-        rhs_sharded = _vmappable(rhs_sharded, "rhs")
-        jvp_sharded = _vmappable(jvp_sharded, "jvp")
-        delta_sharded = _vmappable(delta_sharded, "delta")
-        resid_sharded = _vmappable(resid_sharded, "resid")
+            )._locals,
+            dict(rhs=rhs_sharded, jvp=jvp_sharded,
+                 delta=delta_sharded, resid=resid_sharded),
+        )
+        rhs_sharded = wrapped["rhs"]
+        jvp_sharded = wrapped["jvp"]
+        delta_sharded = wrapped["delta"]
+        resid_sharded = wrapped["resid"]
 
     @jax.jit
     def rhs_fn(u, t):

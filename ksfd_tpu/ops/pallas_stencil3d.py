@@ -42,6 +42,7 @@ from .stencil import deriv_coeffs
 from .pallas_stencil import (
     VMEM_LIMIT_BYTES,
     _interpret_forced,
+    member_batching_rules,
     pallas_mesh_ok,
 )
 
@@ -435,39 +436,18 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
 
     if B == 0 and n_shards == 1:
         # member batching under jax.vmap — same scheme as the 2D
-        # builder (see pallas_stencil.py)
-        import functools
-
-        from jax.custom_batching import custom_vmap
-
-        @functools.lru_cache(maxsize=4)
-        def _batched_kernels(nb):
-            return make_pallas_kernels_3d(
+        # builder (shared rule factory in pallas_stencil.py)
+        wrapped = member_batching_rules(
+            lambda nb: make_pallas_kernels_3d(
                 ops, tile_x=tile_x, interpret=interpret, batch=nb
-            )._locals
-
-        def _vmappable(fn, name):
-            cv = custom_vmap(fn)
-
-            @cv.def_vmap
-            def _rule(axis_size, in_batched, *args):
-                bfn = _batched_kernels(int(axis_size))[name]
-                args = [
-                    a
-                    if ib
-                    else jnp.broadcast_to(
-                        a, (int(axis_size),) + jnp.shape(a)
-                    )
-                    for a, ib in zip(args, in_batched)
-                ]
-                return bfn(*args), True
-
-            return cv
-
-        rhs_sharded = _vmappable(rhs_sharded, "rhs")
-        jvp_sharded = _vmappable(jvp_sharded, "jvp")
-        delta_sharded = _vmappable(delta_sharded, "delta")
-        resid_sharded = _vmappable(resid_sharded, "resid")
+            )._locals,
+            dict(rhs=rhs_sharded, jvp=jvp_sharded,
+                 delta=delta_sharded, resid=resid_sharded),
+        )
+        rhs_sharded = wrapped["rhs"]
+        jvp_sharded = wrapped["jvp"]
+        delta_sharded = wrapped["delta"]
+        resid_sharded = wrapped["resid"]
 
     @jax.jit
     def rhs_fn(u, t):

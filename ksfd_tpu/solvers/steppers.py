@@ -255,14 +255,19 @@ def wlte_norm(u, uhat, atol, rtol):
 
 
 def wlte_norm_delta(u1, d, atol, rtol):
-    """wlte_norm with the embedded difference d = u1 - uhat supplied
-    directly (uhat = u1 - d is never materialized).
+    """wlte_norm with the embedded difference d = uhat - u1 supplied
+    directly (uhat = u1 + d is never materialized).
 
     Accumulating d as sum_j (m2_j - m_j) Y_j — exact Python-float
     coefficient differences — avoids the ~|u|*eps64 rounding the
     (u + sum m2 Y) - (u + sum m Y) round trip injects into the
     cancelling sum, and saves a full-grid store/load of uhat.
+
+    d=None means the tableau has no distinct embedded pair
+    (bhat == b): the estimate is identically zero.
     """
-    w = atol + rtol * jnp.maximum(jnp.abs(u1), jnp.abs(u1 - d))
+    if d is None:
+        return jnp.zeros((), dtype=u1.dtype)
+    w = atol + rtol * jnp.maximum(jnp.abs(u1), jnp.abs(u1 + d))
     e = d / w
     return jnp.sqrt(jnp.mean(e * e))
