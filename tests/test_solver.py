@@ -291,3 +291,18 @@ def test_fft_pc_step_agrees_with_dense(manufactured32):
     uf, ef = fft_fn(u0, 0.0, 1.0)
     np.testing.assert_allclose(np.asarray(uf), np.asarray(ud), rtol=1e-6)
     assert float(ef) == pytest.approx(float(ed), rel=0.2)
+
+
+def test_wlte_norm_delta_matches_wlte_norm():
+    # contract: d = uhat - u1, never-materialized uhat = u1 + d
+    from ksfd_tpu.solvers.steppers import wlte_norm, wlte_norm_delta
+
+    rng = np.random.default_rng(7)
+    u1 = jnp.asarray(rng.normal(size=(3, 32)) * 100.0)
+    d = jnp.asarray(rng.normal(size=(3, 32)) * 5.0)  # non-negligible
+    atol, rtol = 0.01, 1e-6
+    a = wlte_norm(u1, u1 + d, atol, rtol)
+    b = wlte_norm_delta(u1, d, atol, rtol)
+    assert abs(float(a) - float(b)) < 1e-12 * float(a)
+    # bhat == b tableau: no embedded pair -> zero estimate
+    assert float(wlte_norm_delta(u1, None, atol, rtol)) == 0.0
