@@ -31,6 +31,14 @@ Usage:
 
 Shard the member axis over the devices with `shard_members(U0)`
 before calling solve(); everything downstream is sharding-transparent.
+
+With ``NumericsOptions(device_loop=True)`` (CLI: ``-device_loop 1``)
+adaptive ensembles run the scalar Solver's fused adaptive chunk
+vmapped over members: each member walks its own accept/reject/h
+trajectory inside ONE batched lax.while_loop dispatch (up to 128
+attempts), instead of paying one host round-trip per step.  Noise
+injection bounds each member's chunk at its own next injection time;
+a stuck member gets the vmapped robust-fallback retry.
 """
 
 from types import SimpleNamespace
@@ -117,6 +125,7 @@ class EnsembleSolver:
         # ensembles use the sharding-transparent XLA step instead.
         self._vstep = None
         self._vmulti = None
+        self._vchunk = None
         self._vstep_flavor = None
         self._vgroom = jax.jit(jax.vmap(self.ops.groom))
         self._vfallback = None
@@ -203,6 +212,27 @@ class EnsembleSolver:
                 jax.vmap(multi, in_axes=(0, 0, 0, None)),
                 static_argnums=3,
             )
+        # Device-fused adaptive chunk, vmapped over members: each
+        # member walks its own accept/reject/h trajectory inside ONE
+        # lax.while_loop execution (JAX's batched while_loop runs
+        # until every member's cond exits, masking finished members),
+        # so an adaptive ensemble pays one dispatch per chunk instead
+        # of one per step.  Same eligibility as the scalar Solver.
+        self._vchunk = None
+        if (
+            nm.device_loop
+            and nm.adapt_type != "none"
+            and nm.ksp_type != "banded"
+            and "CFL_safety_factor" not in self.ps.tdfuncs
+        ):
+            from .solver import chunk_cfl_safety, make_adaptive_chunk_fn
+
+            chunk, _ = make_adaptive_chunk_fn(
+                self.ops, nm, atol=self.atol, rtol=self.rtol,
+                max_attempts=128,
+                cfl_safety=chunk_cfl_safety(self.ps),
+            )
+            self._vchunk = jax.jit(jax.vmap(chunk))
         self._vfallback = None
         self._vstep_flavor = flavor
 
@@ -305,6 +335,99 @@ class EnsembleSolver:
         lastvart = np.where(inject, ts, lastvart)
         return U, lastvart
 
+    # -- device-fused adaptive iteration ------------------------------
+    def _chunk_iteration(self, U, ts, hs, ks, snes, consec, diverged,
+                         lastvart, active, conserve, Nw0, vrefresh):
+        """One vmapped adaptive-chunk dispatch (the -device_loop mode
+        of the scalar Solver, per member): every active member runs up
+        to 128 step attempts on device with its own h walk; inactive
+        members get max_accepts=0 and no-op.  Each member's chunk is
+        bounded at its next noise-injection time so injections land on
+        the same accepted steps as the per-step host loop.  A member
+        whose chunk exits STUCK (max_rejects consecutive rejections or
+        non-finite enorm) gets one vmapped robust-fallback retry at
+        its h; unrescued members shrink h and count a failure, exactly
+        like the scalar host path."""
+        n = self.numerics
+        N = len(ts)
+        tmax_eff = np.full(N, self.tmax)
+        if self._noise_active():
+            from .solver import next_noise_time
+
+            for i in np.nonzero(active)[0]:
+                tn = next_noise_time(
+                    self.ps, float(lastvart[i]), self.tmax
+                )
+                if tn is not None and tn < tmax_eff[i]:
+                    tmax_eff[i] = tn
+        max_acc = np.where(active, self.maxsteps - ks, 0).astype(
+            np.int32
+        )
+        u1, t1, h1, kacc, attempts, rej = self._vchunk(
+            U, jnp.asarray(ts), jnp.asarray(hs),
+            jnp.asarray(tmax_eff), jnp.asarray(max_acc),
+        )
+        kacc = np.asarray(kacc)
+        attempts = np.asarray(attempts)
+        rej = np.asarray(rej)
+        logENS("vchunk accepted/attempts", kacc, attempts)
+        # on-device rejections count as solve failures (parity with
+        # the reference's SNES-failure accounting)
+        snes = snes + np.where(active, np.maximum(0, attempts - kacc), 0)
+        sel = jnp.asarray(active).reshape((N,) + (1,) * (U.ndim - 1))
+        U = jnp.where(sel, u1, U)
+        ts = np.where(active, np.asarray(t1), ts)
+        hs = np.where(active, np.asarray(h1), hs)
+        ks = ks + np.where(active, kacc, 0)
+        anyacc = active & (kacc > 0)
+        consec = np.where(anyacc, 0, consec)
+        stuck = active & rej
+        if stuck.any():
+            logENS("vchunk stuck members", np.nonzero(stuck)[0])
+            vfb = self._get_vfallback()
+            ebn = np.full(N, np.nan)
+            if vfb is not None:
+                u1b, eb = vfb(U, jnp.asarray(ts), jnp.asarray(hs))
+                ebn = np.asarray(eb)
+                rescued = stuck & np.isfinite(ebn) & (ebn <= 1.0)
+                if rescued.any():
+                    logENS(
+                        "fallback rescued members",
+                        np.nonzero(rescued)[0],
+                    )
+                    selr = jnp.asarray(rescued).reshape(
+                        (N,) + (1,) * (U.ndim - 1)
+                    )
+                    U = jnp.where(selr, u1b, U)
+                    ts = np.where(rescued, ts + hs, ts)
+                    ks = ks + rescued
+                    anyacc = anyacc | rescued
+                    consec = np.where(rescued, 0, consec)
+                    stuck = stuck & ~rescued
+                    hs = np.where(
+                        rescued, self._h_accept_vec(hs, ebn), hs
+                    )
+            snes = snes + stuck
+            consec = np.where(stuck, consec + 1, consec)
+            hs = np.where(
+                stuck,
+                self._h_reject_vec(hs, ebn, np.isfinite(ebn)),
+                hs,
+            )
+            diverged = diverged | (consec > n.max_snes_failures)
+        if anyacc.any():
+            if self._noise_active():
+                U, lastvart = self._inject_noise(
+                    U, ts, lastvart, anyacc, conserve, Nw0
+                )
+            U = self._vgroom(U)
+            if vrefresh is not None:
+                U = vrefresh(U, jnp.asarray(ts))
+            hs = self._cfl_clamp(U, ts, hs, anyacc)
+            self.ks, self.ts, self.hs = ks, ts, hs
+            self.monitor(ks, ts, U)
+        return U, ts, hs, ks, snes, consec, diverged, lastvart
+
     # -- the loop ----------------------------------------------------
     def solve(self, U0):
         """Integrate every member to tmax/maxsteps.  Returns a
@@ -352,6 +475,14 @@ class EnsembleSolver:
             )
             if not active.any():
                 break
+            if self._vchunk is not None:
+                U, ts, hs, ks, snes, consec, diverged, lastvart = (
+                    self._chunk_iteration(
+                        U, ts, hs, ks, snes, consec, diverged,
+                        lastvart, active, conserve, Nw0, vrefresh,
+                    )
+                )
+                continue
             nblk = 1
             if self._vmulti is not None:
                 nblk = max(

@@ -35,7 +35,8 @@ from .steppers import DIRKTableau, get_tableau, wlte_norm_delta
 
 logTS = logger("TS")
 
-__all__ = ["make_step_fn", "make_multistep_fn", "Solver", "noise_active"]
+__all__ = ["make_step_fn", "make_multistep_fn", "Solver", "noise_active",
+           "next_noise_time", "chunk_cfl_safety"]
 
 
 def noise_active(ps):
@@ -46,6 +47,43 @@ def noise_active(ps):
         bool(v0.get("variance_rate", 0.0))
         or "variance_rate" in ps.tdfuncs
     )
+
+
+def next_noise_time(ps, lastvart, tmax):
+    """Smallest t in (lastvart, tmax] with VTF(t) - VTF(lastvart)
+    >= 1, or None when no injection is due before tmax.
+
+    Used to bound the fused adaptive chunk so that noise fires at
+    the same accepted step as in the host loop.  Assumes the
+    variance timing function is nondecreasing in t — it is a clock
+    by construction (reference: KSFD/ksfdts.py:258-266 computes
+    the same forward difference).  Bisection to ~1e-12 relative;
+    the chunk guard tolerates the residual slack (a boundary-
+    straddling exit simply falls through to host steps until the
+    injection lands)."""
+    vtf = lambda tt: float(ps.values(tt)["variance_timing_function"])
+    target = vtf(lastvart) + 1.0
+    if vtf(tmax) < target:
+        return None
+    lo, hi = float(lastvart), float(tmax)
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if vtf(mid) >= target:
+            hi = mid
+        else:
+            lo = mid
+        if hi - lo <= 1e-12 * max(1.0, abs(hi)):
+            break
+    return hi
+
+
+def chunk_cfl_safety(ps):
+    """Constant CFL factor to clamp on device inside the fused
+    adaptive chunk, or None (a time-dependent factor forces the
+    per-step host loop instead)."""
+    v0 = ps.values0
+    s = float(v0.get("CFL_safety_factor", 0.0) or 0.0)
+    return s if s > 0.0 else None
 
 
 def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
@@ -901,42 +939,13 @@ class Solver:
         return "CFL_safety_factor" in self.ps.tdfuncs
 
     def _chunk_cfl_safety(self):
-        """Constant CFL factor to clamp on device, or None."""
-        v0 = self.ps.values0
-        s = float(v0.get("CFL_safety_factor", 0.0) or 0.0)
-        return s if s > 0.0 else None
+        return chunk_cfl_safety(self.ps)
 
     def _noise_active(self):
         return noise_active(self.ps)
 
     def _next_noise_time(self, lastvart, tmax):
-        """Smallest t in (lastvart, tmax] with VTF(t) - VTF(lastvart)
-        >= 1, or None when no injection is due before tmax.
-
-        Used to bound the fused adaptive chunk so that noise fires at
-        the same accepted step as in the host loop.  Assumes the
-        variance timing function is nondecreasing in t — it is a clock
-        by construction (reference: KSFD/ksfdts.py:258-266 computes
-        the same forward difference).  Bisection to ~1e-12 relative;
-        the chunk guard tolerates the residual slack (a boundary-
-        straddling exit simply falls through to host steps until the
-        injection lands)."""
-        vtf = lambda tt: float(
-            self.ps.values(tt)["variance_timing_function"]
-        )
-        target = vtf(lastvart) + 1.0
-        if vtf(tmax) < target:
-            return None
-        lo, hi = float(lastvart), float(tmax)
-        for _ in range(200):
-            mid = 0.5 * (lo + hi)
-            if vtf(mid) >= target:
-                hi = mid
-            else:
-                lo = mid
-            if hi - lo <= 1e-12 * max(1.0, abs(hi)):
-                break
-        return hi
+        return next_noise_time(self.ps, lastvart, tmax)
 
     def _get_fallback(self):
         """Robust (GMRES, more iterations) step for retries.

@@ -206,3 +206,79 @@ def test_ensemble_uses_batched_pallas_step(monkeypatch):
         got = np.asarray(out.u[i])
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_ensemble_device_fused_adaptive_chunk(prob):
+    """-device_loop ensembles: each member's adaptive accept/reject/h
+    walk runs inside ONE vmapped lax.while_loop dispatch per chunk.
+    Each member must follow its own scalar device-loop Solver
+    trajectory (f64 sweep path, reproducible across the scalar and
+    vmapped chunk compilations) with far fewer host round-trips than
+    steps."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 3)
+    nm = NumericsOptions(device_loop=True, sweep_dtype="float64")
+    kw = dict(t0=0.0, dt=1.0, tmax=50.0, maxsteps=200, rtol=1e-6,
+              atol=0.01)
+    fused = EnsembleSolver(ops, nm, **kw)
+    assert fused._vchunk is None  # built lazily in solve()
+    monitor_calls = []
+    fused.add_monitor(lambda es, ks, ts, U: monitor_calls.append(ks.copy()))
+    of = fused.solve(jnp.asarray(U0))
+    assert fused._vchunk is not None
+    assert (~of.diverged).all() and (of.t >= 50.0).all()
+    # far fewer host round-trips than accepted steps
+    assert len(monitor_calls) - 1 < of.k.max()
+    for i in range(3):
+        s = Solver(ops, nm, **kw)
+        ui = np.asarray(s.solve(jnp.asarray(U0[i])))
+        assert of.k[i] == s.k
+        assert of.t[i] == pytest.approx(s.t, rel=1e-9)
+        assert of.h[i] == pytest.approx(s.h, rel=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(of.u[i]), ui, rtol=1e-9, atol=1e-9
+        )
+
+
+def test_ensemble_chunk_respects_maxsteps_and_isolation(prob):
+    """Per-member max_accepts: a member that reaches maxsteps stops
+    while the rest keep stepping (the chunk no-ops it via
+    max_accepts=0)."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 2)
+    es = EnsembleSolver(ops, NumericsOptions(device_loop=True),
+                        t0=0.0, dt=1.0, tmax=1e9, maxsteps=5,
+                        rtol=1e-6, atol=0.01)
+    out = es.solve(jnp.asarray(U0))
+    assert (out.k == 5).all()
+    assert np.isfinite(np.asarray(out.u)).all()
+
+
+def test_ensemble_chunk_noise_matches_host():
+    """Noise injection with -device_loop ensembles: each member's
+    chunk is bounded at ITS next injection time, so injections land on
+    the same accepted steps (and consume the same per-member key
+    chain) as the per-step host ensemble loop — identical final
+    states on the f64 sweep path."""
+    ps, grid, ops = make_problem(
+        nx=32,
+        extra_params=["variance_rate=1e-6",
+                      "variance_timing_function=t/4"],
+    )
+    base = np.asarray(exact_state(ps, grid, 0.0))
+    U0 = np.stack([base, base * (1.0 + 1e-3)])
+    kw = dict(t0=0.0, dt=1.0, tmax=30.0, maxsteps=100, rtol=1e-6,
+              atol=0.01, rng_key=jax.random.PRNGKey(7))
+    oh = EnsembleSolver(
+        ops, NumericsOptions(sweep_dtype="float64"), **kw
+    ).solve(jnp.asarray(U0))
+    of = EnsembleSolver(
+        ops, NumericsOptions(device_loop=True, sweep_dtype="float64"),
+        **kw
+    ).solve(jnp.asarray(U0))
+    assert not of.diverged.any()
+    assert (of.k == oh.k).all()
+    np.testing.assert_allclose(of.t, oh.t, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(of.u), np.asarray(oh.u), rtol=1e-9, atol=1e-9
+    )
