@@ -465,6 +465,7 @@ class EnsembleSolver:
             jnp.sum(U[:, 0], axis=tuple(range(1, U.ndim - 1)))
         )
         hs = self._cfl_clamp(U, ts, hs, np.ones(N, dtype=bool))
+        self.ks, self.ts, self.hs = ks, ts, hs
         self.monitor(ks, ts, U)
         while True:
             active = (

@@ -86,6 +86,11 @@ def parse_commandline(args=None):
     parser.add_argument("--xprof", metavar="DIR",
                         help="write a JAX profiler (xplane) trace of the"
                              " solve to DIR")
+    parser.add_argument("--ensemble", type=int, default=0, metavar="N",
+                        help="integrate N ensemble members (fresh starts"
+                             " with per-member IC seeds seed..seed+N-1 and"
+                             " independent noise chains) as ONE vmapped"
+                             " program; members save to <save>_m<i>")
     parser.add_argument("params", type=str, nargs="*",
                         help="parameter values (name=value, sympy exprs)")
     return parser.parse_args(args=args)
@@ -137,6 +142,129 @@ def decode_sources(sargs, ps, grid):
     ]
 
 
+def run_ensemble(clargs, ps, grid, ops, numerics):
+    """--ensemble=N: N trajectories as ONE vmapped SPMD program.
+
+    Each member draws its own initial random field (seed, seed+1, ...,
+    seed+N-1) and noise PRNG chain; the member axis shards over the
+    devices as pure data parallelism when N divides the device count.
+    Member i saves to ``<save>_m<i>`` — a standard TimeSeries readable
+    by Solution/moviemaker/tsmerge.  No reference counterpart: there,
+    an ensemble is N separate cluster jobs (one options file each).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ksfd_tpu.ic import start_values
+    from ksfd_tpu.solvers import EnsembleSolver, shard_members
+
+    N = int(clargs.ensemble)
+    if clargs.resume or clargs.restart or clargs.check:
+        raise KSFDException(
+            "--ensemble supports fresh starts only "
+            "(no --resume/--restart/--check)"
+        )
+    if jax.process_count() > 1:
+        raise KSFDException(
+            "--ensemble is single-process (members shard over this "
+            "process's devices)"
+        )
+    members = []
+    t0 = float(ps.t0)
+    for i in range(N):
+        Generator(seed=clargs.seed + i)
+        u0, t0 = start_values(clargs, grid, ps)
+        members.append(np.asarray(u0))
+    U0 = jnp.asarray(np.stack(members))
+    ndev = len(jax.devices())
+    if ndev > 1 and N % ndev == 0:
+        U0 = shard_members(U0)
+    maxsteps = 1 if clargs.onestep else int(ps.params0["maxsteps"])
+    es = EnsembleSolver(
+        ops, numerics, t0=t0, dt=float(ps.params0["dt"]),
+        tmax=float(ps.params0["tmax"]), maxsteps=maxsteps,
+        rtol=float(ps.params0["rtol"]), atol=float(ps.params0["atol"]),
+        rng_key=jax.random.PRNGKey(clargs.seed),
+    )
+    series = []
+    if clargs.save:
+        for i in range(N):
+            ts_i = TimeSeries(
+                "%s_m%d" % (clargs.save, i), grid=grid, mode="w",
+                retries=clargs.series_retries,
+                retry_interval=clargs.series_retry_interval,
+            )
+            write_info(ts_i, clargs=clargs, ps=ps, sources=ops.sources)
+            ts_i.try_to_set("/info/member", i)
+            ts_i.flush()
+            series.append(ts_i)
+    every = max(1, int(clargs.save_every))
+    lastk = [None] * N
+
+    def store_members(ks, ts, U, force=False):
+        Uh = np.asarray(U)
+        for i, s in enumerate(series):
+            k = int(ks[i])
+            if lastk[i] == k:
+                continue
+            if (
+                not force
+                and lastk[i] is not None
+                and k - lastk[i] < every
+            ):
+                continue
+            if not s.tsFile:
+                s.reopen()
+            s.store(Uh[i], float(ts[i]), k=k)
+            s.temp_close()
+            lastk[i] = k
+
+    def ens_print(es_, ks, ts, U):
+        print(
+            "clock: %s, steps %d-%d t=[%.6g, %.6g] h=[%.3g, %.3g]"
+            % (
+                _time.strftime("%H:%M:%S"),
+                int(np.min(ks)), int(np.max(ks)),
+                float(np.min(ts)), float(np.max(ts)),
+                float(np.min(es_.hs)), float(np.max(es_.hs)),
+            ),
+            flush=True,
+        )
+
+    es.add_monitor(ens_print)
+    if series:
+        es.add_monitor(lambda es_, ks, ts, U: store_members(ks, ts, U))
+    status = 0
+    out = None
+    try:
+        out = es.solve(U0)
+    except KeyboardInterrupt as e:
+        print("KeyboardInterrupt:", str(e))
+    except Exception as e:
+        print("Exception:", str(e))
+        import traceback
+
+        traceback.print_exc()
+        status = 1
+    if series:
+        if es.u is not None and es.ks is not None:
+            try:
+                store_members(es.ks, es.ts, es.u, force=True)
+            except Exception as e:
+                print("final save failed:", str(e))
+        for s in series:
+            s.close()
+    if out is not None:
+        print(
+            "members = %d, diverged = %d, solve failures = %d"
+            % (N, int(np.sum(out.diverged)),
+               int(np.sum(out.snes_failures)))
+        )
+    return status
+
+
 def main(*args):
     args = list(args) if args else sys.argv
     # Multi-process (multi-host) runs — the mpiexec analog — must join
@@ -163,6 +291,12 @@ def main(*args):
         order=ps.degree,
     )
     sources = decode_sources(clargs.source, ps, grid)
+    if int(getattr(clargs, "ensemble", 0) or 0) > 1:
+        if clargs.with_g:
+            raise KSFDException("--ensemble does not support --with_g")
+        ops = PDEOperators(ps, grid, sources=sources,
+                           flux_form=clargs.flux_form)
+        return run_ensemble(clargs, ps, grid, ops, numerics)
     if clargs.with_g:
         from ksfd_tpu.ops import WithGOperators, with_g_grid
 

@@ -243,3 +243,32 @@ def test_driver_save_every_thins_series(tmp_path):
     ts.close()
     # k=0 (initial), k=3, k=6, and the forced final k=7 — not 0..7
     assert ks == [0, 3, 6, 7], ks
+
+
+def test_driver_cli_ensemble(tmp_path):
+    """--ensemble=N: N members integrate as one vmapped program and
+    save to <prefix>_m<i> series with distinct IC seeds, each readable
+    by the Solution API."""
+    optfile = tmp_path / "opts"
+    optfile.write_text(
+        "--save={d}/solutions/ens\n"
+        "dt=1\nmaxsteps=3\ntmax=1e6\nwidth=1\nnelements=16\ndim=1\n"
+        "degree=3\natol=0.01\nrtol=1e-6\nsigma=0.02357\ns2=sigma**2/2\n"
+        "Nworms=0\nsrho0=30\nrho0=9000\n"
+        "ngroups=1\nnligands_1=1\nalpha_1=1500\nbeta_1=5.56e-4\n"
+        "s_1_1=0.01\ngamma_1_1=0.01\nD_1_1=1e-6\n".format(d=tmp_path)
+    )
+    r = _run_tool(
+        [os.path.join(REPO, "ksfdsolver.py"), "@" + str(optfile),
+         "--ensemble=2"]
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "members = 2, diverged = 0" in r.stdout
+    s0 = Solution(str(tmp_path / "solutions/ens_m0"))
+    s1 = Solution(str(tmp_path / "solutions/ens_m1"))
+    a0 = np.asarray(s0.images(s0.tstimes[-1]))
+    a1 = np.asarray(s1.images(s1.tstimes[-1]))
+    assert a0.shape == a1.shape
+    assert np.abs(a0 - a1).max() > 1.0  # per-member IC seeds differ
+    s0.close()
+    s1.close()
