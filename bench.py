@@ -49,9 +49,15 @@ def _backend_initializes(timeout=240):
     not error), which would hang the whole benchmark; probing in a
     disposable subprocess lets this process fall back to an honest
     CPU measurement instead.
+
+    On a HEALTHY tunnel the probe costs one throwaway backend
+    initialization per bench run; set KSFD_BENCH_PROBE=0 to skip it
+    (the run then hangs if the tunnel is down), or
+    KSFD_BENCH_PROBE_TIMEOUT=<seconds> to tune the wait.
     """
     import subprocess
 
+    timeout = float(os.environ.get("KSFD_BENCH_PROBE_TIMEOUT", timeout))
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -79,7 +85,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     fallback_note = None
-    if not os.environ.get("KSFD_PLATFORM") and not _backend_initializes():
+    probe = (
+        os.environ.get("KSFD_BENCH_PROBE", "1") != "0"
+        and not os.environ.get("KSFD_PLATFORM")
+    )
+    if probe and not _backend_initializes():
         fallback_note = (
             "default backend failed to initialize (TPU tunnel down?); "
             "measured on CPU"

@@ -336,6 +336,23 @@ class EnsembleSolver:
         return U, lastvart
 
     # -- device-fused adaptive iteration ------------------------------
+    def _post_accept(self, U, ts, hs, lastvart, mask, conserve, Nw0,
+                     vrefresh):
+        """The scalar Solver's post-accept sequence (noise -> groom ->
+        refresh_G -> CFL clamp) applied to the members in ``mask``.
+        groom/refresh_G are idempotent, so re-applying them to members
+        outside the mask (whose states were groomed at their own last
+        accept) is a mathematical no-op."""
+        if self._noise_active():
+            U, lastvart = self._inject_noise(
+                U, ts, lastvart, mask, conserve, Nw0
+            )
+        U = self._vgroom(U)
+        if vrefresh is not None:
+            U = vrefresh(U, jnp.asarray(ts))
+        hs = self._cfl_clamp(U, ts, hs, mask)
+        return U, hs, lastvart
+
     def _chunk_iteration(self, U, ts, hs, ks, snes, consec, diverged,
                          lastvart, active, conserve, Nw0, vrefresh):
         """One vmapped adaptive-chunk dispatch (the -device_loop mode
@@ -343,11 +360,17 @@ class EnsembleSolver:
         to 128 step attempts on device with its own h walk; inactive
         members get max_accepts=0 and no-op.  Each member's chunk is
         bounded at its next noise-injection time so injections land on
-        the same accepted steps as the per-step host loop.  A member
+        the same accepted steps as the per-step host loop; a member
+        already PAST its bound (its injection time was crossed while
+        variance_rate <= 0 there, so lastvart could not advance) gets
+        the scalar path's host-fallthrough semantics: an unbounded
+        chunk limited to ONE accept per dispatch, so the injection
+        check runs after every accepted step until it lands.  A member
         whose chunk exits STUCK (max_rejects consecutive rejections or
         non-finite enorm) gets one vmapped robust-fallback retry at
-        its h; unrescued members shrink h and count a failure, exactly
-        like the scalar host path."""
+        its h — on the groomed/G-refreshed post-accept state, exactly
+        like the scalar host path's next-iteration retry; unrescued
+        members shrink h and count a failure."""
         n = self.numerics
         N = len(ts)
         tmax_eff = np.full(N, self.tmax)
@@ -363,6 +386,12 @@ class EnsembleSolver:
         max_acc = np.where(active, self.maxsteps - ks, 0).astype(
             np.int32
         )
+        straddled = active & (tmax_eff < ts)
+        if straddled.any():
+            tmax_eff = np.where(straddled, self.tmax, tmax_eff)
+            max_acc = np.where(
+                straddled, np.minimum(max_acc, 1), max_acc
+            ).astype(np.int32)
         u1, t1, h1, kacc, attempts, rej = self._vchunk(
             U, jnp.asarray(ts), jnp.asarray(hs),
             jnp.asarray(tmax_eff), jnp.asarray(max_acc),
@@ -381,6 +410,10 @@ class EnsembleSolver:
         ks = ks + np.where(active, kacc, 0)
         anyacc = active & (kacc > 0)
         consec = np.where(anyacc, 0, consec)
+        if anyacc.any():
+            U, hs, lastvart = self._post_accept(
+                U, ts, hs, lastvart, anyacc, conserve, Nw0, vrefresh
+            )
         stuck = active & rej
         if stuck.any():
             logENS("vchunk stuck members", np.nonzero(stuck)[0])
@@ -407,6 +440,10 @@ class EnsembleSolver:
                     hs = np.where(
                         rescued, self._h_accept_vec(hs, ebn), hs
                     )
+                    U, hs, lastvart = self._post_accept(
+                        U, ts, hs, lastvart, rescued, conserve, Nw0,
+                        vrefresh,
+                    )
             snes = snes + stuck
             consec = np.where(stuck, consec + 1, consec)
             hs = np.where(
@@ -416,14 +453,7 @@ class EnsembleSolver:
             )
             diverged = diverged | (consec > n.max_snes_failures)
         if anyacc.any():
-            if self._noise_active():
-                U, lastvart = self._inject_noise(
-                    U, ts, lastvart, anyacc, conserve, Nw0
-                )
-            U = self._vgroom(U)
-            if vrefresh is not None:
-                U = vrefresh(U, jnp.asarray(ts))
-            hs = self._cfl_clamp(U, ts, hs, anyacc)
+            self.u = U
             self.ks, self.ts, self.hs = ks, ts, hs
             self.monitor(ks, ts, U)
         return U, ts, hs, ks, snes, consec, diverged, lastvart
@@ -465,6 +495,7 @@ class EnsembleSolver:
             jnp.sum(U[:, 0], axis=tuple(range(1, U.ndim - 1)))
         )
         hs = self._cfl_clamp(U, ts, hs, np.ones(N, dtype=bool))
+        self.u = U
         self.ks, self.ts, self.hs = ks, ts, hs
         self.monitor(ks, ts, U)
         while True:
@@ -572,6 +603,7 @@ class EnsembleSolver:
                 if vrefresh is not None:
                     U = vrefresh(U, jnp.asarray(ts))
                 hs = self._cfl_clamp(U, ts, hs, accepted)
+                self.u = U
                 self.ks, self.ts, self.hs = ks, ts, hs
                 self.monitor(ks, ts, U)
         self.u = U

@@ -239,7 +239,14 @@ def run_ensemble(clargs, ps, grid, ops, numerics):
     status = 0
     out = None
     try:
-        out = es.solve(U0)
+        import contextlib
+
+        prof = (
+            jax.profiler.trace(clargs.xprof)
+            if clargs.xprof else contextlib.nullcontext()
+        )
+        with prof:
+            out = es.solve(U0)
     except KeyboardInterrupt as e:
         print("KeyboardInterrupt:", str(e))
     except Exception as e:
@@ -291,7 +298,7 @@ def main(*args):
         order=ps.degree,
     )
     sources = decode_sources(clargs.source, ps, grid)
-    if int(getattr(clargs, "ensemble", 0) or 0) > 1:
+    if int(getattr(clargs, "ensemble", 0) or 0) >= 1:
         if clargs.with_g:
             raise KSFDException("--ensemble does not support --with_g")
         ops = PDEOperators(ps, grid, sources=sources,

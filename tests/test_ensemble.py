@@ -282,3 +282,76 @@ def test_ensemble_chunk_noise_matches_host():
     np.testing.assert_allclose(
         np.asarray(of.u), np.asarray(oh.u), rtol=1e-9, atol=1e-9
     )
+
+
+def test_ensemble_chunk_noise_straddle_terminates():
+    """A member that crosses its injection time while variance_rate is
+    still zero there cannot advance lastvart, so its next chunk bound
+    lands BEFORE its current t.  The chunk loop must not spin on such
+    a member forever: it falls through to one-accept-per-dispatch
+    stepping (the scalar host-fallthrough semantics) until the
+    injection lands, matching the per-step host ensemble loop
+    exactly on the f64 sweep path."""
+    import signal
+
+    ps, grid, ops = make_problem(
+        nx=32,
+        extra_params=["variance_rate=1e-7*Max(0,t-12)",
+                      "variance_timing_function=t/4"],
+    )
+    base = np.asarray(exact_state(ps, grid, 0.0))
+    U0 = np.stack([base, base * (1.0 + 1e-3)])
+    kw = dict(t0=0.0, dt=1.0, tmax=20.0, maxsteps=100, rtol=1e-6,
+              atol=0.01, rng_key=jax.random.PRNGKey(7))
+
+    def on_alarm(signum, frame):
+        raise TimeoutError("ensemble chunk loop appears stuck")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(600)
+    try:
+        of = EnsembleSolver(
+            ops,
+            NumericsOptions(device_loop=True, sweep_dtype="float64"),
+            **kw,
+        ).solve(jnp.asarray(U0))
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    assert not of.diverged.any()
+    assert (of.t > 20.0).all()
+    oh = EnsembleSolver(
+        ops, NumericsOptions(sweep_dtype="float64"), **kw
+    ).solve(jnp.asarray(U0))
+    assert (of.k == oh.k).all()
+    np.testing.assert_allclose(of.t, oh.t, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(of.u), np.asarray(oh.u), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_ensemble_u_current_during_run(prob):
+    """solve() keeps self.u/self.ks current at every monitor call, so
+    the driver's interrupt-time forced save (ksfdsolver.run_ensemble
+    after KeyboardInterrupt) captures the accepted progress instead of
+    finding u=None."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 2)
+    es = EnsembleSolver(ops, NumericsOptions(), t0=0.0, dt=1.0,
+                        tmax=40.0, maxsteps=60, rtol=1e-6, atol=0.01)
+    seen = []
+
+    def interrupter(es_, ks, ts, U):
+        assert es_.u is not None
+        seen.append((ks.copy(), np.asarray(U)))
+        if len(seen) == 3:
+            raise KeyboardInterrupt
+
+    es.add_monitor(interrupter)
+    with pytest.raises(KeyboardInterrupt):
+        es.solve(jnp.asarray(U0))
+    ks_last, U_last = seen[-1]
+    assert es.u is not None
+    assert (es.ks == ks_last).all()
+    assert ks_last.max() > 0  # interrupted mid-run, after real steps
+    np.testing.assert_array_equal(np.asarray(es.u), U_last)

@@ -264,6 +264,17 @@ def test_driver_cli_ensemble(tmp_path):
     )
     assert r.returncode == 0, r.stderr + r.stdout
     assert "members = 2, diverged = 0" in r.stdout
+    # --ensemble=1 must run the ensemble path too (same _m0 naming and
+    # summary line), not silently fall back to the scalar solver
+    r1 = _run_tool(
+        [os.path.join(REPO, "ksfdsolver.py"), "@" + str(optfile),
+         "--ensemble=1", "--save=%s/solutions/ens1" % tmp_path]
+    )
+    assert r1.returncode == 0, r1.stderr + r1.stdout
+    assert "members = 1, diverged = 0" in r1.stdout
+    s = Solution(str(tmp_path / "solutions/ens1_m0"))
+    assert len(s.tstimes) >= 1
+    s.close()
     s0 = Solution(str(tmp_path / "solutions/ens_m0"))
     s1 = Solution(str(tmp_path / "solutions/ens_m1"))
     a0 = np.asarray(s0.images(s0.tstimes[-1]))
