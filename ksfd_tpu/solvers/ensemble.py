@@ -245,6 +245,9 @@ class EnsembleSolver:
             nm = dataclasses.replace(
                 self._nm_eff, ksp_type="gmres_scipy",
                 ksp_restart=12, ksp_max_it=4, stage_delta=False,
+                # DIRK retries escalate the Newton count like the
+                # scalar Solver._get_fallback (rosw ignores it)
+                snes_iters=max(4, self._nm_eff.snes_iters),
             )
             fb, _ = make_step_fn(
                 self.ops, nm, atol=self.atol, rtol=self.rtol

@@ -391,7 +391,17 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                     if tab.A[i][j]:
                         r = r + (h * tab.A[i][j]) * fs[j]
                 ti = t + tab.c[i] * h
-                Ui = r  # predictor: neglect the implicit increment
+                # Predictor: neglect the implicit increment.  With one
+                # modified-Newton iteration (snes_iters=1, the
+                # reference's '-snes_type ksponly') this makes the
+                # stage exactly linearly implicit, which MEASURES more
+                # robust on the stiff options92 end-game than the
+                # fancier Ui0 = r + h*gamma*f_{i-1} extrapolation
+                # (978 steps/326 rejections vs 2959/1287 at ksponly;
+                # the extrapolated start lands in the capped-rho
+                # clamp region where the held-J iteration contracts
+                # poorly).
+                Ui = r
                 fUi = stage_eval(Ui, ti)
                 for _ in range(newton_iters):
                     res = Ui - (h * tab.gamma) * fUi - r
@@ -976,6 +986,13 @@ class Solver:
             nm = dataclasses.replace(
                 self.numerics, ksp_type="gmres_scipy",
                 ksp_restart=12, ksp_max_it=4, stage_delta=False,
+                # DIRK retries also escalate the modified-Newton count
+                # (rosw ignores snes_iters): at '-snes_type ksponly'
+                # the fast path is Newton-truncation-limited on stiff
+                # states (options92 end-game: 326 rejections at 1
+                # iteration vs 35 at 6), so a retry at the same 1
+                # iteration would mostly re-fail.
+                snes_iters=max(4, self.numerics.snes_iters),
             )
             self._fallback_fn, _ = make_step_fn(
                 self.ops, nm, atol=self.atol, rtol=self.rtol,

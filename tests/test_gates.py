@@ -75,3 +75,41 @@ def test_options92_adaptive_gate(tmp_path):
         assert 20000.0 < rho.max() < 28000.0
         # ligand fields saturate near s/gamma * rho scale, all positive
         assert float(u[1:].min()) > 0.0
+
+@pytest.mark.slow
+def test_options92_arkimex_gate(tmp_path):
+    """The same shortened eigenmode1d driven with '-ts_type arkimex'
+    at the reference block's '-snes_type ksponly' (1 modified-Newton
+    iteration per stage).  The DIRK path is Newton-truncation-limited
+    on the stiff saturated state, so the GMRES fallback must escalate
+    snes_iters for the run to reach large h: without that escalation
+    this workload takes ~980 steps with ~330 rejections and h stalls
+    near 700 (measured); with it, ~150 steps and h in the thousands.
+    """
+    optfile = str(tmp_path / "options")
+    src = open(os.path.join(REPO, "examples", "eigenmode1d")).read()
+    lines = []
+    for ln in src.splitlines():
+        if ln.startswith("tmax="):
+            ln = "tmax=20000"
+        elif ln == "-ts_type rosw":
+            ln = "-ts_type arkimex"
+        lines.append(ln)
+    with open(optfile, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    save = str(tmp_path / "gate")
+    res = _run_cli(["@" + optfile, "--save=" + save])
+    assert res.returncode == 0, res.stdout + res.stderr
+    nfail = int(res.stdout.split("solve failures =")[-1].split()[0])
+    assert nfail < 150, nfail
+
+    with h5py.File(save + "s1r0.h5", "r") as f:
+        ks = sorted(int(k[4:]) for k in f if k.startswith("data"))
+        # far fewer steps than the un-escalated path's ~980
+        assert ks[-1] <= 400, ks[-1]
+        last = f["data%d" % ks[-1]]
+        assert float(last.attrs["t"]) >= 20000.0
+        rho = np.asarray(last)[0]
+        # same physical end state as the rosw gate
+        assert _count_peaks(rho) == 4
+        assert 20000.0 < rho.max() < 28000.0
