@@ -10,6 +10,7 @@ import collections
 import os
 
 from ..utils.debug import logger
+from ..utils.exceptions import KSFDException
 from .timeseries import TimeSeries
 from .monitors import pickleunp
 
@@ -41,6 +42,13 @@ class Solution:
             pickleunp(info["sources"][()]) if "sources" in info else None
         )
         self.tstimes = self.timeSeries.sorted_times()
+        if len(self.tstimes) == 0:
+            # a run that crashed before its first monitor write leaves
+            # a valid file with /info but no snapshots
+            self.timeSeries.close()
+            raise KSFDException(
+                "series {p} contains no snapshots".format(p=prefix)
+            )
         self.tmin, self.tmax = self.tstimes[0], self.tstimes[-1]
         self._derivatives = None
 

@@ -121,11 +121,16 @@ class TimeSeries:
             self.grid_load()
         if self.ranges is not None and self.mode != "r":
             self.try_to_set("ranges", np.asarray(self.ranges, dtype=np.int64))
-        elif self.ranges is None and "ranges" in self.tsf:
-            self.ranges = tuple(
-                tuple(int(x) for x in r)
-                for r in np.asarray(self.tsf["ranges"][()])
-            )
+        elif self.ranges is None:
+            # reference-format files store the owned slab at
+            # /grid/ranges (KSFD/ksfdtimeseries.py grid_save attrs)
+            for key in ("ranges", "grid/ranges"):
+                if key in self.tsf:
+                    self.ranges = tuple(
+                        tuple(int(x) for x in r)
+                        for r in np.asarray(self.tsf[key][()])
+                    )
+                    break
         self.tsf.flush()
 
     @property
@@ -208,6 +213,21 @@ class TimeSeries:
             if k in gg:
                 v = gg[k][()]
                 kwargs[k] = v.item() if np.isscalar(v) or v.shape == () else v
+        # Reference-format files (KSFD/ksfdtimeseries.py:253-262) store
+        # the per-axis sizes as 'nps' and the physical extents as
+        # 'bounds' instead of nx/ny/nz and width/height/depth; accept
+        # those so reference-written series load (the file-protocol
+        # parity claim of this module).  We write BOTH key sets.
+        if "nx" not in kwargs and "nps" in gg:
+            nps = np.asarray(gg["nps"][()]).ravel()
+            for name, i in (("nx", 0), ("ny", 1), ("nz", 2)):
+                if i < len(nps):
+                    kwargs[name] = int(nps[i])
+        if "width" not in kwargs and "bounds" in gg:
+            bounds = np.asarray(gg["bounds"][()]).ravel()
+            for name, i in (("width", 0), ("height", 1), ("depth", 2)):
+                if i < len(bounds):
+                    kwargs[name] = float(bounds[i])
         self._grid = Grid(**kwargs)
 
     # -- plumbing ---------------------------------------------------------
@@ -471,10 +491,9 @@ class Gatherer:
                 size=size, rank=rank,
             )
             ts._size, ts._rank = size, rank
-            if "ranges" in ts.tsf:
-                ts.ranges = tuple(
-                    tuple(r) for r in np.asarray(ts.tsf["ranges"][()])
-                )
-            else:
-                ts.ranges = tuple((0, n) for n in ts.grid.nps)
+            # TimeSeries.__init__ already loaded 'ranges' (ours) or
+            # '/grid/ranges' (reference-written slab files); default a
+            # rangeless single file to the full grid extent.
+            if ts.ranges is None:
+                ts.ranges = tuple((0, int(n)) for n in ts.grid.nps)
             yield ts

@@ -165,3 +165,56 @@ def test_gatherer_iterates(tmp_path):
     assert len(gathered) == 1
     assert gathered[0].ranges == ((0, 8),)
     gathered[0].close()
+
+
+def test_reference_format_grid_metadata(tmp_path):
+    """Files written by the reference store /grid/{nps,bounds,...}
+    (KSFD/ksfdtimeseries.py:253-262) instead of our nx/width keys, and
+    slab files carry the owned block at /grid/ranges.  The reader must
+    reconstruct the true grid from those keys (regression: it silently
+    fell back to a default 8-point grid)."""
+    import h5py
+
+    nx, width, dof = 48, 4.0, 2
+    data = np.arange(dof * nx, dtype=float).reshape(dof, nx)
+    fn = str(tmp_path / "refs1r0.h5")
+    with h5py.File(fn, "w") as f:
+        f.require_group("/info")
+        f["/grid/dim"] = 1
+        f["/grid/dof"] = dof
+        f["/grid/nps"] = np.array([nx])
+        f["/grid/bounds"] = np.array([width])
+        f["/grid/spacing"] = np.array([width / nx])
+        f["/grid/order"] = 3
+        f["/grid/stencil_width"] = 2
+        f["data0"] = data
+        f["data0"].attrs["k"] = 0
+        f["data0"].attrs["t"] = 0.0
+        f["times"] = np.array([0.0])
+        f["ks"] = np.array([0])
+        f["order"] = np.array([0])
+    ts = TimeSeries(str(tmp_path / "ref"), mode="r")
+    assert ts.grid.nx == nx
+    assert ts.grid.width == width
+    assert ts.grid.dof == dof
+    assert ts.grid.order == 3
+    np.testing.assert_array_equal(ts.retrieve_by_time(0.0), data)
+    ts.close()
+
+    # slab file: ranges live at /grid/ranges in reference files
+    fn2 = str(tmp_path / "slabs2r1.h5")
+    with h5py.File(fn2, "w") as f:
+        f.require_group("/info")
+        f["/grid/dim"] = 1
+        f["/grid/dof"] = dof
+        f["/grid/nps"] = np.array([nx])
+        f["/grid/bounds"] = np.array([width])
+        f["/grid/order"] = 3
+        f["/grid/ranges"] = np.array([[8, 24]])
+        f["times"] = np.array([], dtype=float)
+        f["ks"] = np.array([], dtype=int)
+        f["order"] = np.array([], dtype=int)
+    ts2 = TimeSeries(str(tmp_path / "slab"), mode="r", size=2, rank=1)
+    assert ts2.ranges == ((8, 24),)
+    assert ts2.local_shape == (dof, 16)
+    ts2.close()

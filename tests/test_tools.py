@@ -283,3 +283,61 @@ def test_driver_cli_ensemble(tmp_path):
     assert np.abs(a0 - a1).max() > 1.0  # per-member IC seeds differ
     s0.close()
     s1.close()
+
+
+def test_lastcheckpoint_zip_mode(stored_run, tmp_path):
+    """Zip-mode runs: the literal --check value (ending '.zip') must
+    find the newest archived checkpoint, extract its files (they were
+    deleted at archive time), and print a directly-resumable prefix."""
+    import zipfile
+
+    _, _, _, ufinal, ps, grid = stored_run
+    d = tmp_path / "checks"
+    d.mkdir()
+    pref = str(d / "zrun")
+    for k in (0, 2):
+        cpname = "%s_%d_" % (pref, k)
+        ts = TimeSeries(cpname, grid=grid, mode="w")
+        ts.store(ufinal, float(k), k=k)
+        ts.close()
+        fn = cpname + "s1r0.h5"
+        with zipfile.ZipFile(pref + "s1r0.zip", "a") as z:
+            z.write(fn, arcname=os.path.basename(fn))
+        os.remove(fn)
+    r = _run_tool(
+        [os.path.join(REPO, "tools/lastcheckpoint.py"), pref + ".zip"]
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert r.stdout.strip() == pref + "_2_"
+    ts = TimeSeries(pref + "_2_", mode="r")
+    np.testing.assert_array_equal(ts.retrieve_by_time(2.0), ufinal)
+    ts.close()
+    # only the newest checkpoint is extracted
+    assert not os.path.exists(pref + "_0_s1r0.h5")
+
+
+def test_moviemaker_names_mismatch(stored_run):
+    """--names with the wrong count must error out loudly instead of
+    silently dropping fields via zip truncation."""
+    tmp, prefix, *_ = stored_run
+    frames = str(tmp / "frames_nm/f")
+    r = _run_tool(
+        [os.path.join(REPO, "tools/moviemaker.py"), "-n", "1",
+         "--names", "OnlyOne", prefix, frames]
+    )
+    assert r.returncode == 2
+    assert "--names" in r.stderr
+
+
+def test_solution_empty_series_raises(stored_run, tmp_path):
+    """A crash before the first monitor write leaves a valid file with
+    /info but zero snapshots; Solution must name the problem instead
+    of dying on IndexError."""
+    from ksfd_tpu import KSFDException
+
+    _, _, _, _, ps, grid = stored_run
+    ts = TimeSeries(str(tmp_path / "empty"), grid=grid, mode="w")
+    write_info(ts, clargs=ps.clargs, ps=ps)
+    ts.close()
+    with pytest.raises(KSFDException, match="no snapshots"):
+        Solution(str(tmp_path / "empty"))

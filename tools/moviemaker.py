@@ -167,6 +167,13 @@ def main(argv=None):
         if args.names
         else [names[i] for i in idxs]
     )
+    if len(shown) != len(idxs):
+        print(
+            "error: --names gives %d name(s) for %d field(s) (%s)"
+            % (len(shown), len(idxs), ",".join(names[i] for i in idxs)),
+            file=sys.stderr,
+        )
+        return 2
     fields = list(zip(idxs, shown))
     outdir = os.path.dirname(args.frameprefix)
     if outdir:

@@ -100,11 +100,15 @@ def convergence(args):
     steps = min(args.steps, 50)
     errs = []
     nxs = [32, 64, 128]
+    kw = dict(adapt_type="none", ksp_iters=args.iters or 16)
+    if args.ksp:
+        kw["ksp_type"] = args.ksp
     for nx in nxs:
         ps, grid, ops = make_problem(nx=nx)
-        numerics = NumericsOptions(adapt_type="none", ksp_iters=16)
+        numerics = NumericsOptions(**kw)
         solver = Solver(ops, numerics, t0=0.0, dt=args.dt, tmax=1e18,
-                        maxsteps=steps, rtol=1e-6, atol=0.01)
+                        maxsteps=steps, rtol=1e-6, atol=0.01,
+                        block_steps=args.block)
         u = np.asarray(solver.solve(jnp.asarray(exact_state(ps, grid, 0.0))))
         err = np.abs(u - exact_state(ps, grid, solver.t)).max()
         errs.append(err)
