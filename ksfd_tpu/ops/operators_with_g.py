@@ -80,9 +80,6 @@ class WithGOperators(PDEOperators):
         # G slot: no dynamics; shift-only inverse
         return diff + [0.0], decay + [0.0]
 
-    def laplacian_symbol(self):
-        return super().laplacian_symbol()
-
 
 def _strip_g(grid):
     state = grid.state()

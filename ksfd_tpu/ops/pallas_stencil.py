@@ -314,8 +314,13 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
     lig = ops._lig_coeffs
 
     def groom_slab(slab):
-        rho = jnp.maximum(slab[0], rhomin)
-        Us = [jnp.maximum(slab[1 + l], umin) for l in range(dof - 1)]
+        # where-form clamp: NaN compares False, so NaN -> min like
+        # PDEOperators.groom (maximum() would propagate the NaN)
+        rho = jnp.where(slab[0] >= rhomin, slab[0], rhomin)
+        Us = [
+            jnp.where(slab[1 + l] >= umin, slab[1 + l], umin)
+            for l in range(dof - 1)
+        ]
         return [rho] + Us
 
     def lap(field_slab):
@@ -642,12 +647,23 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
         delta_sharded = wrapped["delta"]
         resid_sharded = wrapped["resid"]
 
+
+    # means over the GROOMED view: ops.rhs grooms before every use of
+    # the state, and a NaN entry (where-clamped to the floor inside
+    # the kernel slabs) must not poison the f64 mean scalars either
+    _rhomin64, _umin64 = float(ops.rhomin), float(ops.Umin)
+
+    def _mean_groomed(u64, i):
+        lo = _rhomin64 if i == 0 else _umin64
+        f = u64[i]
+        return jnp.mean(jnp.where(f >= lo, f, lo))
+
     @jax.jit
     def rhs_fn(u, t):
         # means + mean-level reaction balance in f64 (cheap reductions;
         # on sharded state XLA lowers these to psum over the mesh)
         u64 = u.astype(jnp.float64)
-        means = [jnp.mean(u64[i]) for i in range(dof)]
+        means = [_mean_groomed(u64, i) for i in range(dof)]
         G_m = G_fn(*means, t)
         reacts = [
             lig[l]["s"](t) * means[0] - lig[l]["gamma"](t) * means[1 + l]
@@ -691,8 +707,10 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
             the caller (u1 passed separately: f32(u0) + f32(d) cannot
             recover a clamped-to-floor u1)."""
             u64 = u0.astype(jnp.float64)
-            rho_mean = jnp.mean(u64[0])
-            means = [rho_mean] + [jnp.mean(u64[i]) for i in range(1, dof)]
+            rho_mean = _mean_groomed(u64, 0)
+            means = [rho_mean] + [
+                _mean_groomed(u64, i) for i in range(1, dof)
+            ]
             G_m = G_fn(*means, t)
             sc = jnp.asarray([t, rho_mean, G_m], dtype=jnp.float32)
             return delta_sharded(

@@ -76,9 +76,13 @@ def pallas3d_available(grid, ops=None):
             return False
         if _vmem_estimate(grid.dof, 8, ny, nz, 3) > _VMEM_BUDGET:
             return False
-        return (
-            jax.devices()[0].platform == "tpu" or _interpret_forced()
-        )
+        if _interpret_forced():
+            return True
+        # Mosaic on real TPU: x tiles need 8-row alignment, the same
+        # constraint the 2D gate enforces (pallas_stencil.py) —
+        # misaligned grids take the XLA path instead of failing
+        # kernel compilation.
+        return nx % 8 == 0 and jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 
@@ -204,8 +208,13 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
         return acc
 
     def groom_slab(slab):
-        rho = jnp.maximum(slab[0], rhomin)
-        Us = [jnp.maximum(slab[1 + l], umin) for l in range(dof - 1)]
+        # where-form clamp: NaN compares False, so NaN -> min like
+        # PDEOperators.groom (maximum() would propagate the NaN)
+        rho = jnp.where(slab[0] >= rhomin, slab[0], rhomin)
+        Us = [
+            jnp.where(slab[1 + l] >= umin, slab[1 + l], umin)
+            for l in range(dof - 1)
+        ]
         return [rho] + Us
 
     def _copy_in(ref, scratch, sem, b, i):
@@ -449,10 +458,21 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
         delta_sharded = wrapped["delta"]
         resid_sharded = wrapped["resid"]
 
+
+    # means over the GROOMED view: ops.rhs grooms before every use of
+    # the state, and a NaN entry (where-clamped to the floor inside
+    # the kernel slabs) must not poison the f64 mean scalars either
+    _rhomin64, _umin64 = float(ops.rhomin), float(ops.Umin)
+
+    def _mean_groomed(u64, i):
+        lo = _rhomin64 if i == 0 else _umin64
+        f = u64[i]
+        return jnp.mean(jnp.where(f >= lo, f, lo))
+
     @jax.jit
     def rhs_fn(u, t):
         u64 = u.astype(jnp.float64)
-        means = [jnp.mean(u64[i]) for i in range(dof)]
+        means = [_mean_groomed(u64, i) for i in range(dof)]
         G_m = G_fn(*means, t)
         reacts = [
             lig[l]["s"](t) * means[0] - lig[l]["gamma"](t) * means[1 + l]
@@ -489,8 +509,10 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
         @jax.jit
         def delta_fn(u0, d, u1, t):
             u64 = u0.astype(jnp.float64)
-            rho_mean = jnp.mean(u64[0])
-            means = [rho_mean] + [jnp.mean(u64[i]) for i in range(1, dof)]
+            rho_mean = _mean_groomed(u64, 0)
+            means = [rho_mean] + [
+                _mean_groomed(u64, i) for i in range(1, dof)
+            ]
             G_m = G_fn(*means, t)
             sc = jnp.asarray([t, rho_mean, G_m], dtype=jnp.float32)
             return delta_sharded(

@@ -22,6 +22,7 @@ from argparse import ArgumentParser, SUPPRESS
 from dataclasses import dataclass, field, asdict
 
 from .debug import logger
+from .exceptions import KSFDException
 
 logMAIN = logger("MAIN")
 
@@ -66,9 +67,22 @@ class Parser(ArgumentParser):
         rest = []
         stream = iter(tokens)
         for tok in stream:
-            name = tok[2:] if tok.startswith("--") else None
-            if name not in blocks:
+            name = inline = None
+            if tok.startswith("--"):
+                body = tok[2:]
+                if body in blocks:
+                    name = body
+                elif "=" in body:
+                    # '--numerics=-ts_type rosw': a self-contained
+                    # equals-form block (no terminating '--' scan)
+                    head, _, val = body.partition("=")
+                    if head in blocks:
+                        name, inline = head, shlex.split(val)
+            if name is None:
                 rest.append(tok)
+                continue
+            if inline is not None:
+                blocks[name].extend(inline)
                 continue
             for inner in stream:
                 if inner == "--":
@@ -207,15 +221,35 @@ def decode_numerics(tokens, petsc_tokens=()):
     def take_value(i):
         if i + 1 < len(toks) and not toks[i + 1].startswith("-"):
             return toks[i + 1], i + 2
-        # allow numeric values that start with '-'
+        # allow (comma-separated) numeric values that start with '-',
+        # e.g. '-ts_adapt_clip -0.1,5'
         if i + 1 < len(toks):
             nxt = toks[i + 1]
             try:
-                float(nxt)
+                for part in nxt.split(","):
+                    float(part)
                 return nxt, i + 2
             except ValueError:
                 pass
         return None, i + 1
+
+    def fnum(val, tok):
+        try:
+            return float(val)
+        except (TypeError, ValueError):
+            raise KSFDException(
+                "bad or missing value for numerics option "
+                "{t}: {v!r}".format(t=tok, v=val)
+            )
+
+    def inum(val, tok):
+        try:
+            return int(val)
+        except (TypeError, ValueError):
+            raise KSFDException(
+                "bad or missing value for numerics option "
+                "{t}: {v!r}".format(t=tok, v=val)
+            )
 
     while i < len(toks):
         tok = toks[i]
@@ -241,26 +275,38 @@ def decode_numerics(tokens, petsc_tokens=()):
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
         elif key == "ts_adapt_type":
             val, i = take_value(i)
-            opts.adapt_type = "none" if val == "none" else "basic"
+            if val in ("none", "basic"):
+                opts.adapt_type = val
+            else:
+                # PETSc adaptors without a native equivalent map to
+                # 'basic' but are RECORDED, like every other enum here
+                opts.adapt_type = "basic"
+                opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
         elif key == "ts_adapt_dt_max":
             val, i = take_value(i)
-            opts.dt_max = float(val)
+            opts.dt_max = fnum(val, tok)
         elif key == "ts_adapt_dt_min":
             val, i = take_value(i)
-            opts.dt_min = float(val)
+            opts.dt_min = fnum(val, tok)
         elif key == "ts_adapt_clip":
             val, i = take_value(i)
-            lo, hi = val.split(",")
-            opts.clip_low, opts.clip_high = float(lo), float(hi)
+            try:
+                lo, hi = val.split(",")
+            except (AttributeError, TypeError, ValueError):
+                raise KSFDException(
+                    "bad or missing value for numerics option "
+                    "{t}: {v!r} (want lo,hi)".format(t=tok, v=val)
+                )
+            opts.clip_low, opts.clip_high = fnum(lo, tok), fnum(hi, tok)
         elif key == "ts_adapt_scale_solve_failed":
             val, i = take_value(i)
-            opts.rollback_factor = float(val)
+            opts.rollback_factor = fnum(val, tok)
         elif key in ("ts_adapt_safety",):
             val, i = take_value(i)
-            opts.safety = float(val)
+            opts.safety = fnum(val, tok)
         elif key == "ts_max_snes_failures":
             val, i = take_value(i)
-            opts.max_snes_failures = int(val)
+            opts.max_snes_failures = inum(val, tok)
         elif key == "snes_type":
             val, i = take_value(i)
             if val == "ksponly":
@@ -271,19 +317,19 @@ def decode_numerics(tokens, petsc_tokens=()):
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
         elif key == "snes_iters":
             val, i = take_value(i)
-            opts.snes_iters = int(val)
+            opts.snes_iters = inum(val, tok)
         elif key == "ksp_max_it":
             val, i = take_value(i)
-            opts.ksp_max_it = int(val)
+            opts.ksp_max_it = inum(val, tok)
         elif key == "ksp_rtol":
             val, i = take_value(i)
-            opts.ksp_rtol = float(val)
+            opts.ksp_rtol = fnum(val, tok)
         elif key == "ksp_iters":
             val, i = take_value(i)
-            opts.ksp_iters = int(val)
+            opts.ksp_iters = inum(val, tok)
         elif key == "ksp_restart" or key == "ksp_gmres_restart":
             val, i = take_value(i)
-            opts.ksp_restart = int(val)
+            opts.ksp_restart = inum(val, tok)
         elif key == "ksp_type":
             val, i = take_value(i)
             if val in (

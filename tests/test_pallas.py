@@ -458,3 +458,42 @@ def test_pallas_kernels_vmap_batching(ops2d):
             for i in range(3)
         ])
         np.testing.assert_allclose(out_v, out_s, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas3d_available_row_alignment(monkeypatch):
+    """On real TPU the 3D kernels need nx 8-row alignment like the 2D
+    gate (regression: a misaligned nx built Mosaic-rejected kernels
+    instead of falling back to XLA)."""
+    import jax as jax_mod
+    from ksfd_tpu.ops import pallas_stencil3d as pst3
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.delenv("KSFD_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setattr(jax_mod, "devices", lambda: [_Dev()])
+    bad = Grid(dim=3, width=1.0, height=1.0, depth=1.0,
+               nx=100, ny=16, nz=8, dof=3, order=3)
+    assert not pst3.pallas3d_available(bad)
+    good = Grid(dim=3, width=1.0, height=1.0, depth=1.0,
+                nx=96, ny=16, nz=8, dof=3, order=3)
+    assert pst3.pallas3d_available(good)
+
+
+def test_pallas_groom_clamps_nan(ops2d):
+    """The kernels' in-slab groom must map NaN to the floor like
+    PDEOperators.groom (jnp.maximum would propagate the NaN), so a
+    corrupted state recovers on the fast path exactly as on XLA."""
+    ps, grid, ops = ops2d
+    u = rough_state(grid)
+    u_nan = u.copy()
+    u_nan[0, 3, 5] = np.nan
+    u_nan[1, 10, 20] = np.nan
+    u_clamped = u.copy()
+    u_clamped[0, 3, 5] = ops.rhomin
+    u_clamped[1, 10, 20] = ops.Umin
+    rhs_p, _ = make_pallas_rhs(ops, tile_x=16, interpret=True)
+    out_nan = np.asarray(rhs_p(jnp.asarray(u_nan, jnp.float32), 0.0))
+    out_cl = np.asarray(rhs_p(jnp.asarray(u_clamped, jnp.float32), 0.0))
+    assert np.isfinite(out_nan).all()
+    np.testing.assert_array_equal(out_nan, out_cl)

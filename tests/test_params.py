@@ -112,3 +112,48 @@ def test_decode_numerics_solver_selection():
     opts = decode_numerics(["-ksp_type", "preonly", "-pc_type", "lu"])
     assert opts.ksp_type == "richardson"
     assert any("preonly" in u for u in opts.unrecognized)
+
+
+def test_parser_equals_form_subsystem_block():
+    """'--numerics=-ts_type beuler' (equals form) must populate the
+    block instead of being silently discarded (regression: the block
+    extractor only recognized the bare introducer and then clobbered
+    argparse's value with an empty list)."""
+    parser = Parser()
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("params", nargs="*")
+    ns = parser.parse_args(["--numerics=-ts_type beuler", "a=1"])
+    assert ns.numerics == ["-ts_type", "beuler"]
+    assert ns.params == ["a=1"]
+    opts = decode_numerics(ns.numerics)
+    assert opts.ts_type == "beuler"
+    # equals form is self-contained: following tokens are untouched
+    ns2 = parser.parse_args(
+        ["--petsc=-ts_adapt_type none", "--seed=3", "a=1"]
+    )
+    assert ns2.petsc == ["-ts_adapt_type", "none"]
+    assert ns2.seed == 3
+
+
+def test_decode_numerics_malformed_values():
+    """Missing or malformed numerics values raise a named
+    KSFDException instead of a raw TypeError/AttributeError."""
+    with pytest.raises(KSFDException, match="ts_adapt_dt_max"):
+        decode_numerics(["-ts_adapt_dt_max"])
+    with pytest.raises(KSFDException, match="ts_adapt_clip"):
+        decode_numerics(["-ts_adapt_clip"])
+    with pytest.raises(KSFDException, match="ts_adapt_clip"):
+        decode_numerics(["-ts_adapt_clip", "0.1"])  # want lo,hi
+    with pytest.raises(KSFDException, match="ksp_iters"):
+        decode_numerics(["-ksp_iters", "many"])
+    # negative comma-separated values are accepted by the tokenizer
+    opts = decode_numerics(["-ts_adapt_clip", "-0.1,5"])
+    assert opts.clip_low == -0.1 and opts.clip_high == 5.0
+
+
+def test_decode_numerics_unknown_adaptor_recorded():
+    """Unknown -ts_adapt_type values map to 'basic' but are RECORDED
+    in opts.unrecognized like every other enum option."""
+    opts = decode_numerics(["-ts_adapt_type", "dsp"])
+    assert opts.adapt_type == "basic"
+    assert any("ts_adapt_type dsp" in u for u in opts.unrecognized)
