@@ -38,27 +38,32 @@ def mesh_shape_for(n_devices, grid_dims, nps=None):
     caps each mesh axis so a tiny grid never gets oversharded.
     """
     if grid_dims == 1:
-        return (n_devices,)
-    # factor n_devices into grid_dims parts, most-balanced first
-    shape = [1] * grid_dims
-    n = n_devices
-    f = 2
-    factors = []
-    while f * f <= n:
-        while n % f == 0:
-            factors.append(f)
-            n //= f
-        f += 1
-    if n > 1:
-        factors.append(n)
-    for fac in sorted(factors, reverse=True):
-        # multiply into the currently smallest axis (keeps it balanced)
-        i = int(np.argmin(shape))
-        shape[i] *= fac
+        shape = [n_devices]
+    else:
+        # factor n_devices into grid_dims parts, most-balanced first
+        shape = [1] * grid_dims
+        n = n_devices
+        f = 2
+        factors = []
+        while f * f <= n:
+            while n % f == 0:
+                factors.append(f)
+                n //= f
+            f += 1
+        if n > 1:
+            factors.append(n)
+        for fac in sorted(factors, reverse=True):
+            # multiply into the currently smallest axis (keeps balance)
+            i = int(np.argmin(shape))
+            shape[i] *= fac
     if nps is not None:
-        # never more shards than points per axis
+        # never more shards than points per axis, and each axis count
+        # must DIVIDE the points (device_put rejects uneven shards) —
+        # halve until both hold, idling surplus devices instead of
+        # crashing tiny/odd grids on big meshes
         for i in range(grid_dims):
-            while shape[i] > max(1, int(nps[i])):
+            npts = max(1, int(nps[i]))
+            while shape[i] > 1 and (shape[i] > npts or npts % shape[i]):
                 shape[i] //= 2
     return tuple(shape)
 

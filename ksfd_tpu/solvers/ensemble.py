@@ -294,14 +294,16 @@ class EnsembleSolver:
         consume their chain)."""
         inject = np.zeros(len(ts), dtype=bool)
         sds = np.zeros(len(ts))
+        # single-parameter funcs, not ps.values(): this runs per
+        # accepted member per outer iteration
+        vr_fn = self.ps.funcs["variance_rate"]
+        vtf_fn = self.ps.funcs["variance_timing_function"]
         for i in np.nonzero(accepted)[0]:
             t, lv = float(ts[i]), float(lastvart[i])
-            vals = self.ps.values(t)
-            vrate = float(vals["variance_rate"] or 0.0)
+            vrate = float(vr_fn(t) or 0.0)
             if vrate <= 0.0:
                 continue
-            flast = self.ps.values(lv)["variance_timing_function"]
-            if float(vals["variance_timing_function"]) - float(flast) < 1.0:
+            if float(vtf_fn(t)) - float(vtf_fn(lv)) < 1.0:
                 continue
             inject[i] = True
             sds[i] = np.sqrt(vrate * (t - lv))

@@ -61,7 +61,10 @@ def next_noise_time(ps, lastvart, tmax):
     the chunk guard tolerates the residual slack (a boundary-
     straddling exit simply falls through to host steps until the
     injection lands)."""
-    vtf = lambda tt: float(ps.values(tt)["variance_timing_function"])
+    # single-parameter func, NOT ps.values(): the bisection would
+    # otherwise evaluate the full parameter DAG ~200x per call
+    fn = ps.funcs["variance_timing_function"]
+    vtf = lambda tt: float(fn(tt))
     target = vtf(lastvart) + 1.0
     if vtf(tmax) < target:
         return None
@@ -895,13 +898,16 @@ class Solver:
         return jnp.concatenate([rho[None], u[1:]], axis=0)
 
     def is_noise_time(self, t, lastvart):
-        """VTF(t) - VTF(lastvart) >= 1 (KSFD/ksfdts.py:258-266)."""
-        vrate = self.ps.values(t)["variance_rate"]
+        """VTF(t) - VTF(lastvart) >= 1 (KSFD/ksfdts.py:258-266).
+
+        Evaluates only the two needed parameter funcs — this runs per
+        accepted step on the hot host loop; ps.values() would evaluate
+        the entire parameter DAG (three times)."""
+        vrate = self.ps.funcs["variance_rate"](t)
         if not vrate or vrate <= 0.0:
             return False
-        flast = self.ps.values(lastvart)["variance_timing_function"]
-        fnow = self.ps.values(t)["variance_timing_function"]
-        return float(fnow) - float(flast) >= 1.0
+        vtf = self.ps.funcs["variance_timing_function"]
+        return float(vtf(t)) - float(vtf(lastvart)) >= 1.0
 
     def add_variance(self, u, dt, t):
         """Geometric Brownian noise: rho *= exp(sqrt(rate*dt)*N(0,1)).
@@ -909,7 +915,7 @@ class Solver:
         Reference: KSFD/ksfdts.py:268-284; here driven by a JAX PRNG
         key that is part of the checkpointed state (bit-exact resume).
         """
-        vrate = float(self.ps.values(t)["variance_rate"])
+        vrate = float(self.ps.funcs["variance_rate"](t))
         if not vrate or vrate <= 0.0:
             return u
         if self.rng_key is None:
@@ -930,9 +936,28 @@ class Solver:
         ]
         return float(np.min(hmaxs))
 
+    def _post_accept(self, u, k, t, h, conserve, Nworms):
+        """The post-accept sequence shared by the host step path and
+        the fused-chunk exit: noise -> conserve -> groom -> refresh_G
+        -> CFL clamp -> monitor.  The chunk/host equivalence tests
+        depend on this ORDER staying identical on both paths.
+        Returns (u, h) with h possibly CFL-clamped."""
+        if self.is_noise_time(t, self.lastvart):
+            u = self.add_variance(u, t - self.lastvart, t)
+            if conserve:
+                u = self.conserve_worms(u, Nworms)
+            self.lastvart = t
+        u = self.ops.groom(u)
+        if hasattr(self.ops, "refresh_G"):
+            u = self.ops.refresh_G(u, t)
+        self.u, self.k, self.t, self.h = u, k, t, h
+        self.CFL_check(u, t)
+        self.monitor(k, t, u)
+        return u, self.h
+
     def CFL_check(self, u, t):
         self.CFL_maxh = self.CFL_step(u, t)
-        safety = float(self.ps.values(t)["CFL_safety_factor"])
+        safety = float(self.ps.funcs["CFL_safety_factor"](t))
         if safety > 0.0:
             maxh = safety * self.CFL_maxh
             if self.h > maxh:
@@ -955,7 +980,16 @@ class Solver:
         return noise_active(self.ps)
 
     def _next_noise_time(self, lastvart, tmax):
-        return next_noise_time(self.ps, lastvart, tmax)
+        # memoized on (lastvart, tmax): the fused chunk asks before
+        # every dispatch but the answer only changes when an
+        # injection advances lastvart
+        key = (float(lastvart), float(tmax))
+        cached = getattr(self, "_nnt_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        tn = next_noise_time(self.ps, lastvart, tmax)
+        self._nnt_cache = (key, tn)
+        return tn
 
     def _get_fallback(self):
         """Robust (GMRES, more iterations) step for retries.
@@ -1092,6 +1126,15 @@ class Solver:
         self.h = min(max(self.dt0, n.dt_min), n.dt_max)
         self.k = self.k0
         self.diverged = False
+        # fallback-controller state is per-run: a reused Solver must
+        # not start its next run parked on the robust fallback (or
+        # with a stale chunk-rejection streak) left by the previous
+        # one.  (lastvart deliberately persists: resume flows assign
+        # it between __init__ and solve().)
+        self._fb_mode = False
+        self._fb_accepts = 0
+        self._fb_probe = 64
+        self._chunk_rej_streak = 0
         k, t, h = self.k, self.t, self.h
         u = self.ops.groom(u)
         if hasattr(self.ops, "refresh_G"):
@@ -1150,23 +1193,9 @@ class Solver:
                     consecutive_failures = 0
                     k += kacc
                     t = float(tnew)
-                    u = u1
-                    # same post-accept order as the host path below:
-                    # noise -> groom -> refresh_G -> CFL -> monitor
-                    dtv = t - self.lastvart
-                    if self.is_noise_time(t, self.lastvart):
-                        u = self.add_variance(u, dtv, t)
-                        if conserve:
-                            u = self.conserve_worms(u, Nworms)
-                        self.lastvart = t
-                    u = self.ops.groom(u)
-                    if hasattr(self.ops, "refresh_G"):
-                        u = self.ops.refresh_G(u, t)
-                    self.u, self.k, self.t, self.h = u, k, t, h
                     self.last_enorm = None
-                    self.CFL_check(u, t)
-                    h = self.h
-                    self.monitor(k, t, u)
+                    u, h = self._post_accept(u1, k, t, h, conserve,
+                                             Nworms)
                 if rej:
                     # the fast solver rejected at this h: retry it on
                     # the HOST through the robust-fallback path (the
@@ -1181,6 +1210,22 @@ class Solver:
                         self._chunk_rej_streak += 1
                     else:
                         self._chunk_rej_streak = 0
+                    if self._get_fallback() is None:
+                        # no robust fallback exists for this ksp_type
+                        # (only richardson has one): treat the stuck
+                        # chunk like a failed host step — count it,
+                        # shrink h, and re-enter the chunk — instead
+                        # of arming a fallback mode that would call
+                        # None (the EnsembleSolver handles a missing
+                        # vfallback the same way)
+                        self.snes_failures += 1
+                        consecutive_failures += 1
+                        if consecutive_failures > n.max_snes_failures:
+                            self.diverged = True
+                            break
+                        h = self._new_h_reject(h, np.nan, False)
+                        logTS("chunk rejected; no fallback, h ->", h)
+                        continue
                     self._fb_mode = True
                     self._fb_accepts = 0
                     self._fb_probe = min(
@@ -1268,19 +1313,7 @@ class Solver:
                     ),
                     flush=True,
                 )
-            dtv = t - self.lastvart
-            if self.is_noise_time(t, self.lastvart):
-                u = self.add_variance(u, dtv, t)
-                if conserve:
-                    u = self.conserve_worms(u, Nworms)
-                self.lastvart = t
-            u = self.ops.groom(u)
-            if hasattr(self.ops, "refresh_G"):
-                u = self.ops.refresh_G(u, t)
-            self.u, self.k, self.t, self.h = u, k, t, h
-            self.CFL_check(u, t)
-            h = self.h  # CFL may have clamped it
-            self.monitor(k, t, u)
+            u, h = self._post_accept(u, k, t, h, conserve, Nworms)
         self.u, self.k, self.t, self.h = u, k, t, h
         return u
 

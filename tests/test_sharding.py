@@ -124,3 +124,21 @@ def test_f32_fast_mode_sharded_falls_back_to_xla():
     np.testing.assert_allclose(
         np.asarray(u_sh), u_ref, rtol=0, atol=0.1
     )
+
+
+def test_mesh_shape_caps_and_divides():
+    """mesh_shape_for never overshards a tiny grid (1D included —
+    regression: the 1D branch skipped the cap) and every axis count
+    divides the points (device_put rejects uneven shards)."""
+    assert mesh_shape_for(8, 1, (4,)) == (4,)
+    assert mesh_shape_for(8, 1, (6,)) == (2,)
+    assert mesh_shape_for(8, 1, (1024,)) == (8,)
+    for shape, nps in ((mesh_shape_for(8, 2, (4, 4)), (4, 4)),
+                       (mesh_shape_for(8, 2, (6, 2)), (6, 2))):
+        for s, npts in zip(shape, nps):
+            assert s <= npts and npts % s == 0
+    # end-to-end: a tiny 1D grid distributes over the 8-device mesh
+    grid = Grid(dim=1, nx=4, dof=2)
+    u = np.arange(8.0).reshape(2, 4)
+    sharded, mesh = distribute(jnp.asarray(u), grid)
+    np.testing.assert_array_equal(np.asarray(sharded), u)

@@ -285,3 +285,53 @@ def test_driver_onestep(tmp_path):
     assert r.returncode == 0, r.stderr + r.stdout
     assert "step   1" in r.stdout
     assert "step   2" not in r.stdout
+
+
+def test_chunk_rejection_without_fallback_continues(prob):
+    """A stuck fused chunk under a ksp_type with no robust fallback
+    (anything but richardson) must shrink h and continue instead of
+    arming a fallback mode that calls None (regression: TypeError
+    aborted the whole run)."""
+    ps, grid, ops = prob
+    nm = NumericsOptions(device_loop=True, ksp_type="gmres_rolled",
+                         sweep_dtype="float64")
+    s = Solver(ops, nm, t0=0.0, dt=1.0, tmax=20.0, maxsteps=60,
+               rtol=1e-6, atol=0.01)
+    assert s._get_fallback() is None
+    real_chunk = s._chunk
+    calls = {"n": 0}
+
+    def fake_chunk(u, t, h, tmax, maxacc):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate a stuck exit: nothing accepted, rejected flag
+            return u, t, h, 0, 8, True
+        return real_chunk(u, t, h, tmax, maxacc)
+
+    s._chunk = fake_chunk
+    u = s.solve(jnp.asarray(exact_state(ps, grid, 0.0)))
+    assert calls["n"] > 1          # it re-entered the chunk
+    assert s.snes_failures >= 1    # the stuck exit was counted
+    assert not s.diverged
+    assert not s._fb_mode
+    assert np.isfinite(np.asarray(u)).all()
+
+
+def test_solver_reuse_resets_controller_state(prob):
+    """solve() resets the fallback-controller state, so a reused
+    Solver instance reproduces a fresh run bit-for-bit even after the
+    previous run parked on the robust fallback."""
+    ps, grid, ops = prob
+    nm = NumericsOptions(sweep_dtype="float64")
+    kw = dict(t0=0.0, dt=1.0, tmax=20.0, maxsteps=40, rtol=1e-6,
+              atol=0.01)
+    s = Solver(ops, nm, **kw)
+    u0 = jnp.asarray(exact_state(ps, grid, 0.0))
+    u_first = np.asarray(s.solve(u0))
+    k_first, t_first = s.k, s.t
+    # poison the controller state as a stiff previous run would
+    s._fb_mode, s._fb_probe, s._chunk_rej_streak = True, 1, 5
+    s._fb_accepts = 3
+    u_again = np.asarray(s.solve(u0))
+    assert s.k == k_first and s.t == t_first
+    np.testing.assert_array_equal(u_again, u_first)
