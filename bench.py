@@ -116,7 +116,7 @@ def main(argv=None):
     ps, grid, ops = ge._make_problem(nx, nx)
     numerics = (
         NumericsOptions(ksp_iters=args.ksp_iters)
-        if args.ksp_iters
+        if args.ksp_iters is not None
         else NumericsOptions()
     )
     # the fused fixed-dt multi-step driver: the steps are CHAINED

@@ -114,7 +114,11 @@ void band_lu_solve(const BandLU& f, double* b) {
     }
 }
 
-void dense_lu_factor(std::vector<double>& A, std::vector<int>& piv, int r) {
+// Dense LU with partial pivoting, LAPACK dgetrf semantics: row
+// interchanges swap FULL rows (including already-stored L
+// multipliers), so the stored L reflects the FINAL row ordering.
+// Returns 0 on success, j+1 if pivot j is exactly zero.
+int dense_lu_factor(std::vector<double>& A, std::vector<int>& piv, int r) {
     piv.resize(r);
     for (int j = 0; j < r; ++j) {
         int p = j;
@@ -128,7 +132,7 @@ void dense_lu_factor(std::vector<double>& A, std::vector<int>& piv, int r) {
             for (int c = 0; c < r; ++c)
                 std::swap(A[(size_t)j * r + c], A[(size_t)p * r + c]);
         const double pv = A[(size_t)j * r + j];
-        if (pv == 0.0) continue;
+        if (pv == 0.0) return j + 1;
         for (int i = j + 1; i < r; ++i) {
             const double m = A[(size_t)i * r + j] / pv;
             A[(size_t)i * r + j] = m;
@@ -136,14 +140,22 @@ void dense_lu_factor(std::vector<double>& A, std::vector<int>& piv, int r) {
                 A[(size_t)i * r + c] -= m * A[(size_t)j * r + c];
         }
     }
+    return 0;
 }
 
 void dense_lu_solve(const std::vector<double>& A, const std::vector<int>& piv,
                     int r, double* b) {
-    for (int j = 0; j < r; ++j) {
+    // Apply ALL row interchanges first (dgetrs/laswp order): the
+    // factorization swapped FULL rows, so L's rows are in the final
+    // permuted ordering and interleaving pivot application with the
+    // forward substitution computes a different (wrong) result
+    // whenever the pivot order is nontrivial.  (The BANDED solve
+    // above interleaves correctly because dgbtrf-style factorization
+    // never swaps stored multipliers.)
+    for (int j = 0; j < r; ++j)
         if (piv[j] != j) std::swap(b[j], b[piv[j]]);
+    for (int j = 0; j < r; ++j)
         for (int i = j + 1; i < r; ++i) b[i] -= A[(size_t)i * r + j] * b[j];
-    }
     for (int j = r - 1; j >= 0; --j) {
         for (int c = j + 1; c < r; ++c) b[j] -= A[(size_t)j * r + c] * b[c];
         b[j] /= A[(size_t)j * r + j];
@@ -187,7 +199,12 @@ void* cbanded_factor(int n, int kl, int ku, const double* band,
                     s += W[(size_t)i * r + a] * f->Binv_U[(size_t)i * r + c];
                 f->S[(size_t)a * r + c] = s;
             }
-        dense_lu_factor(f->S, f->Spiv, r);
+        if (dense_lu_factor(f->S, f->Spiv, r) != 0) {
+            // singular capacitance matrix: the cyclic matrix itself
+            // is singular even though the banded core factored
+            delete f;
+            return nullptr;
+        }
         f->Vt.assign(W, W + (size_t)n * r);
     }
     return f;

@@ -96,3 +96,39 @@ def test_banded_solver_in_outer_loop():
     uex = exact_state(ps, grid, 5.0)
     assert np.abs(u - uex).max() < 5e-2  # nx=32 spatial truncation level
     assert solver.k == 5
+
+
+def test_cyclic_banded_nontrivial_pivoting():
+    """Non-diagonally-dominant cyclic matrices force real pivoting in
+    the Sherman-Morrison capacitance solve (regression: the dense LU
+    solve interleaved pivot application with forward substitution,
+    which is wrong for full-row-swapped dgetrf-style factors — a
+    cond~66 system returned residual ~71)."""
+    rng = np.random.default_rng(3)
+    n, w = 40, 5
+    A = np.zeros((n, n))
+    for i in range(n):
+        for d in range(-w, w + 1):
+            A[i, (i + d) % n] = rng.standard_normal()
+    # no added diagonal dominance
+    assert np.linalg.cond(A) < 1e4
+    solver = CyclicBandedSolver.from_dense_cyclic(A, w, w)
+    b = rng.standard_normal((3, n))
+    x = solver.solve(b)
+    np.testing.assert_allclose(x, np.linalg.solve(A, b.T).T, atol=1e-9)
+    solver.close()
+
+
+def test_cyclic_banded_exact_zero_pivot_raises():
+    """An exactly-zero pivot (here: a structurally zero row in the
+    banded core) must raise KSFDException, not return a handle that
+    later divides by zero.  (Near-singular matrices follow LAPACK
+    semantics: they factor and the error-controlled stepper judges
+    the garbage solve.)"""
+    from ksfd_tpu.utils.exceptions import KSFDException
+
+    n, w = 24, 1
+    A = np.eye(n)
+    A[5, 5] = 0.0  # zero pivot column within the band
+    with pytest.raises(KSFDException):
+        CyclicBandedSolver.from_dense_cyclic(A, w, w)

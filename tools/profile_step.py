@@ -96,7 +96,7 @@ def main(argv=None):
 
     print("full step (fused multistep):", flush=True)
     base = NumericsOptions()
-    if args.ksp_iters:
+    if args.ksp_iters is not None:
         import dataclasses
 
         base = dataclasses.replace(base, ksp_iters=args.ksp_iters)
