@@ -145,7 +145,14 @@ def delta_expr(expr, field_map, shifted_map=None):
         if isinstance(e, sy.log):
             (a,) = e.args
             da = rec(a)
-            small = log1p(da / a)
+            # The small branch is only SELECTED for |da| < a/2, where
+            # da/a > -1/2, so clamping its argument at -1/2 is the
+            # identity there — but it keeps the UNSELECTED lanes
+            # finite (da/a <= -1 under a clamp-to-floor increment
+            # would make log1p produce -inf/NaN in the discarded
+            # branch, tripping jvp-through-where NaN traps and
+            # jax_debug_nans).
+            small = log1p(sy.Max(da / a, sy.Rational(-1, 2)))
             # Large relative increments (|da| >= a/2, e.g. a clamp to
             # the floor): da/a is within one ulp of -1 in low
             # precision, so difference the logs directly — the values

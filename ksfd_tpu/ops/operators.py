@@ -97,6 +97,7 @@ class PDEOperators:
 
         self._build_G()
         self._build_ligand_coeffs()
+        self._build_s2()
 
     # ------------------------------------------------------------------
     def _resolve_td(self, expr, allowed=()):
@@ -285,7 +286,7 @@ class PDEOperators:
         Traceable in t.  Cross-field coupling (chemotaxis) is left to
         the Krylov iteration.
         """
-        s2 = self._s2_fn(t) if hasattr(self, "_s2_fn") else self._make_s2(t)
+        s2 = self._s2_fn(t)
         diff = [s2]
         decay = [jnp.zeros_like(jnp.asarray(s2, dtype=jnp.result_type(float)))]
         for c in self._lig_coeffs:
@@ -293,14 +294,16 @@ class PDEOperators:
             decay.append(c["gamma"](t))
         return diff, decay
 
-    def _make_s2(self, t):
+    def _build_s2(self):
+        """Resolve the s2 coefficient eagerly (like the ligand
+        coefficients): a host-side sympy resolution must not happen
+        mid-trace, and a missing s2 should error at construction."""
         expr, tdep = self._resolve_td(sy.Symbol("s2"))
         if tdep:
             self._s2_fn = jaxify((_T,), expr, name="s2")
         else:
             const = float(expr)
             self._s2_fn = lambda tt, c=const: c
-        return self._s2_fn(t)
 
     def laplacian_symbol(self):
         """DFT eigenvalues of the discrete Laplacian on this grid."""

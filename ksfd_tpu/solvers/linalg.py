@@ -281,7 +281,7 @@ def gmres_solve(op, b, M=None, tol=1e-8, restart=20, maxiter=50, x0=None):
     return x
 
 
-def dense_solve_factory(rhs, shape, t_and_u_to_J=None):
+def dense_solve_factory(rhs, shape):
     """Build exact dense stage solvers for small problems.
 
     Returns ``prepare(u, t, shift) -> carry`` and

@@ -119,9 +119,10 @@ ROS34PW2 = _transform(
 # Backward Euler as a 1-stage Rosenbrock (linearly implicit Euler).
 # With an exact J this is one Newton step on the BE equation; PETSc's
 # '-ts_type beuler' was only ever an alternative in the reference's
-# options files.  Embedded estimate: compare against explicit Euler
-# (order 1 vs 1; difference is the stiff change — usable for
-# adaptivity, crude like BE itself).
+# options files.  Embedded estimate: b2 = [1/2] gives
+# uhat = u0 + Y1/2, i.e. d = -Y1/2 — half the implicit increment
+# (explicit Euler is not expressible in the Y1 basis).  Usable for
+# adaptivity, crude like BE itself.
 BEULER = _transform(
     "beuler",
     A=[[0.0]],
@@ -160,6 +161,11 @@ class DIRKTableau:
 
 def _dirk(name, A, b, bhat, order, embedded_order):
     A = [[float(x) for x in row] for row in A]
+    # the consumer (solver.py's DIRK loop) hardcodes the ESDIRK
+    # structure: stage 0 explicit (fs = [f0]), stages 1.. implicit
+    # with the shared diagonal gamma
+    assert len(A) >= 2, "ESDIRK tableaus need >= 2 stages"
+    assert A[0][0] == 0.0, "stage 0 must be explicit (ESDIRK)"
     c = [sum(row) for row in A]
     diag = [A[i][i] for i in range(1, len(A))]
     gamma = diag[0]
