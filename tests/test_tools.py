@@ -341,3 +341,62 @@ def test_solution_empty_series_raises(stored_run, tmp_path):
     ts.close()
     with pytest.raises(KSFDException, match="no snapshots"):
         Solution(str(tmp_path / "empty"))
+
+
+def test_driver_cli_resume_bitexact(tmp_path):
+    """The reference's crash-resume pipeline through the REAL CLI:
+    run 6 adaptive steps uninterrupted; separately run 3 steps with
+    checkpoints, then --resume from the lastcheckpoint output with
+    the same options.  The resumed run must continue the step
+    numbering and reproduce the uninterrupted trajectory bit-exactly
+    (/solver_state carries t, dt, k, PRNG key)."""
+    common = (
+        "dt=0.1\ntmax=1e6\nwidth=1\nnelements=16\ndim=1\n"
+        "degree=3\natol=0.01\nrtol=1e-6\nsigma=0.02357\ns2=sigma**2/2\n"
+        "Nworms=0\nsrho0=0\nrho0=9000+100*sin(2*pi*x)\n"
+        "ngroups=1\nnligands_1=1\nalpha_1=1500\nbeta_1=5.56e-4\n"
+        "s_1_1=0.01\ngamma_1_1=0.01\nD_1_1=1e-6\n"
+    )
+    optA = tmp_path / "optsA"
+    optA.write_text("--save={d}/A\nmaxsteps=6\n".format(d=tmp_path) + common)
+    optB = tmp_path / "optsB"
+    optB.write_text(
+        "--save={d}/B\n--check={d}/cpB\nmaxsteps=3\n".format(d=tmp_path)
+        + common
+    )
+    rA = _run_tool([os.path.join(REPO, "ksfdsolver.py"), "@" + str(optA)])
+    assert rA.returncode == 0, rA.stderr + rA.stdout
+    rB = _run_tool([os.path.join(REPO, "ksfdsolver.py"), "@" + str(optB)])
+    assert rB.returncode == 0, rB.stderr + rB.stdout
+    rl = _run_tool(
+        [os.path.join(REPO, "tools/lastcheckpoint.py"), str(tmp_path / "cpB")]
+    )
+    assert rl.returncode == 0, rl.stderr
+    cp = rl.stdout.strip()
+    assert cp.endswith("_3_")
+    # the resume options OMIT dt: an explicit dt= parameter overrides
+    # the checkpoint's stored dt by the reference's priority rules
+    # (ksfdsolver2.py:540-552) and would restart the adaptive ladder
+    common_nodt = "\n".join(
+        ln for ln in common.splitlines() if not ln.startswith("dt=")
+    ) + "\n"
+    optC = tmp_path / "optsC"
+    optC.write_text(
+        "--save={d}/C\n--resume={cp}\nmaxsteps=6\n".format(
+            d=tmp_path, cp=cp
+        )
+        + common_nodt
+    )
+    rC = _run_tool([os.path.join(REPO, "ksfdsolver.py"), "@" + str(optC)])
+    assert rC.returncode == 0, rC.stderr + rC.stdout
+    a = TimeSeries(str(tmp_path / "A"), mode="r")
+    c = TimeSeries(str(tmp_path / "C"), mode="r")
+    ta, tc = a.sorted_times()[-1], c.sorted_times()[-1]
+    assert ta == tc, (a.sorted_times(), c.sorted_times())
+    np.testing.assert_array_equal(
+        a.retrieve_by_time(ta), c.retrieve_by_time(tc)
+    )
+    # step numbering continued (ks in C start at the checkpoint's k)
+    assert min(int(k) for k in c.ks) >= 3
+    a.close()
+    c.close()
