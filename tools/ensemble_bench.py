@@ -27,8 +27,10 @@ def main(argv=None):
     ap.add_argument("--nx", type=int, default=256)
     ap.add_argument("--members", default="1,4,8,16",
                     help="comma-separated member counts")
-    ap.add_argument("--steps", type=int, default=8,
+    ap.add_argument("--steps", type=int, default=24,
                     help="timed chained steps (after warmup)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repeats per chain length (min taken)")
     ap.add_argument("--dt", type=float, default=1.0)
     ap.add_argument("--no-pallas", action="store_true",
                     help="force the XLA step (comparison tier)")
@@ -81,19 +83,32 @@ def main(argv=None):
             u1, _, e1 = vmulti(U0, ts, hs, nst)
             fence(u1, e1)
             uw[nst] = u1
-        times = {}
-        for nst, pert in ((n_small, 1e-9), (n_big, 2e-9)):
-            up = U0 * (1.0 + pert)
-            fence(up, jnp.zeros(N))
-            t0 = time.perf_counter()
-            u1, _, e1 = vmulti(up, ts, hs, nst)
-            fence(u1, e1)
-            times[nst] = time.perf_counter() - t0
-            assert not bool(jnp.array_equal(u1, uw[nst])), (
-                "timed output identical to warmup - dedupe suspected"
+        # min over repeats per chain length: single-sample slopes are
+        # swamped by tunnel run-to-run noise (negative slopes observed
+        # at members=8/16 in the r2 unattended validation run)
+        times = {n_small: [], n_big: []}
+        for rep in range(args.repeats):
+            for nst in (n_small, n_big):
+                up = U0 * (1.0 + 1e-9 * (1 + rep + (nst == n_big)))
+                fence(up, jnp.zeros(N))
+                t0 = time.perf_counter()
+                u1, _, e1 = vmulti(up, ts, hs, nst)
+                fence(u1, e1)
+                times[nst].append(time.perf_counter() - t0)
+                assert not bool(jnp.array_equal(u1, uw[nst])), (
+                    "timed output identical to warmup - dedupe suspected"
+                )
+                assert np.isfinite(np.asarray(e1)).all(), "step diverged"
+        step_time = (min(times[n_big]) - min(times[n_small])) / (
+            n_big - n_small
+        )
+        if step_time <= 0:
+            print(
+                json.dumps({"members": N, "note": "nonpositive slope",
+                            "times_s": times}),
+                flush=True,
             )
-            assert np.isfinite(np.asarray(e1)).all(), "step diverged"
-        step_time = (times[n_big] - times[n_small]) / (n_big - n_small)
+            continue
         print(
             json.dumps(
                 {
