@@ -74,8 +74,10 @@ def main(argv=None):
     parser.add_argument("--nx", type=int, default=None,
                         help="grid points per axis (default 1024 on TPU, "
                              "256 on CPU)")
-    parser.add_argument("--steps", type=int, default=10,
-                        help="timed steps (after warmup)")
+    parser.add_argument("--steps", type=int, default=48,
+                        help="timed chained steps (after warmup)")
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="timed repeats per chain length (min taken)")
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dt", type=float, default=1.0)
     parser.add_argument("--ksp-iters", type=int, default=None,
@@ -141,7 +143,10 @@ def main(argv=None):
     #   runs keep the state on device across steps, so the fixed
     #   per-call cost is not part of the per-step cost;
     # - each timed call uses a distinctly perturbed input so the
-    #   tunnel cannot dedupe it against warmup, asserted below.
+    #   tunnel cannot dedupe it against warmup, asserted below;
+    # - the slope uses the MIN over --repeats samples per chain
+    #   length: single samples are exposed to tunnel run-to-run
+    #   weather of the same order as a short chain's compute.
     n_small, n_big = 2, args.steps + 2
 
     def fence(arr, e):
@@ -155,23 +160,27 @@ def main(argv=None):
         uw[nst] = u1
         enorm0 = float(e1)
 
-    times = {}
+    times = {n_small: [], n_big: []}
     outs = {}
-    for nst, pert in ((n_small, 1e-9), (n_big, 2e-9)):
-        up = u * (1.0 + pert) + pert
-        fence(up, 0.0)
-        t0 = time.perf_counter()
-        u1, t1, e1 = multi(up, t, h, nst)
-        fence(u1, e1)
-        times[nst] = time.perf_counter() - t0
-        outs[nst] = u1
-        enorm = e1
+    for rep in range(args.repeats):
+        for nst in (n_small, n_big):
+            pert = 1e-9 * (1 + 2 * rep + (nst == n_big))
+            up = u * (1.0 + pert) + pert
+            fence(up, 0.0)
+            t0 = time.perf_counter()
+            u1, t1, e1 = multi(up, t, h, nst)
+            fence(u1, e1)
+            times[nst].append(time.perf_counter() - t0)
+            outs[nst] = u1
+            enorm = e1
     for nst in (n_small, n_big):
         assert not bool(jnp.array_equal(outs[nst], uw[nst])), (
             "timed output identical to warmup output - dedupe suspected"
         )
 
-    step_time = (times[n_big] - times[n_small]) / (n_big - n_small)
+    step_time = (min(times[n_big]) - min(times[n_small])) / (
+        n_big - n_small
+    )
     dof = grid.n_dofs
     rate = dof / step_time
     if args.verbose:
