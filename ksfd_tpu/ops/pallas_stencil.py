@@ -279,10 +279,11 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
     while nx_loc % tx:
         tx //= 2
     ntiles = nx_loc // tx
-    # Mosaic requires VMEM slices row-aligned to the (8,128) f32 tile:
-    # halo rows rounded up to a multiple of 4 so tx + 2*halo stays
-    # 8-aligned (tx is a power of two >= 8)
-    halo = ((sw + 3) // 4) * 4
+    # Halo rows rounded up to a multiple of 8: HBM DMA slices must be
+    # aligned to the (8,128) f32 tile in both offset and extent, and
+    # the no-pad wrap chunks below slice the source at row offsets
+    # base-halo / base+tx, so every piece must stay 8-aligned.
+    halo = ((sw + 7) // 8) * 8
     # ---- member batching (ensemble axis) -------------------------
     B = int(batch)
     if B and n_shards > 1:
@@ -291,17 +292,109 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
     if B:
         pid = lambda: (pl.program_id(0), pl.program_id(1))
         scv = lambda sc_ref, b, j: sc_ref[b, j]
-        slab_src = lambda ref, b, i: ref.at[
-            b, :, pl.ds(i * tx, tx + 2 * halo), :
-        ]
         oix = lambda f: (0, f)
     else:
         pid = lambda: (None, pl.program_id(0))
         scv = lambda sc_ref, b, j: sc_ref[j]
-        slab_src = lambda ref, b, i: ref.at[
-            :, pl.ds(i * tx, tx + 2 * halo), :
-        ]
         oix = lambda f: (f,)
+
+    # ---- slab DMA pipeline ----------------------------------------
+    # The kernels fetch their x-slabs (tile rows + halo) from HBM with
+    # manual async copies, DOUBLE-BUFFERED across grid tiles so the
+    # next tile's DMA overlaps the current tile's compute (the serial
+    # start/wait form measured ~2x slower at 1024^2: DMA + compute
+    # added instead of overlapping).  Single-shard sources are read
+    # UNPADDED: the periodic wrap rows are fetched directly with three
+    # mod-offset chunks, killing the pad_x concatenate (a full HBM
+    # copy of every state-sized input per call).  Sharded sources keep
+    # the ppermute-padded layout (halo rows come from ring neighbors)
+    # and copy one contiguous chunk per tile.
+    NBUF = 2
+    padded_src = n_shards > 1
+    nchunks = 1 if padded_src else 3
+    n_flat = (B or 1) * ntiles
+
+    def _tile_copies(ref, slab, sem, fi, buf):
+        """Async-copy descriptors filling slab[buf] with flat tile
+        fi's x-slab from ref (identical descriptors must be
+        reconstructed to wait)."""
+        buf = jnp.int32(buf)
+        fi = jnp.int32(fi)
+        if B:
+            bb = jax.lax.div(fi, jnp.int32(ntiles))
+            ii = jax.lax.rem(fi, jnp.int32(ntiles))
+            src = lambda off, n: ref.at[bb, :, pl.ds(off, n), :]
+        else:
+            ii = fi
+            src = lambda off, n: ref.at[:, pl.ds(off, n), :]
+        if padded_src:
+            off = ii * jnp.int32(tx)
+            return [
+                pltpu.make_async_copy(
+                    src(off, tx + 2 * halo),
+                    slab.at[buf],
+                    sem.at[buf, jnp.int32(0)],
+                )
+            ]
+        # offsets computed in 8-row units then scaled so Mosaic can
+        # prove (8,128)-tile alignment of the HBM slices
+        nx8, tx8, h8 = nx_loc // 8, tx // 8, halo // 8
+        base8 = ii * jnp.int32(tx8)
+        lo = jax.lax.rem(
+            base8 - jnp.int32(h8) + jnp.int32(nx8), jnp.int32(nx8)
+        ) * jnp.int32(8)
+        hi = jax.lax.rem(
+            base8 + jnp.int32(tx8), jnp.int32(nx8)
+        ) * jnp.int32(8)
+        base = base8 * jnp.int32(8)
+        return [
+            pltpu.make_async_copy(
+                src(lo, halo),
+                slab.at[buf, :, pl.ds(0, halo), :],
+                sem.at[buf, jnp.int32(0)],
+            ),
+            pltpu.make_async_copy(
+                src(base, tx),
+                slab.at[buf, :, pl.ds(halo, tx), :],
+                sem.at[buf, jnp.int32(1)],
+            ),
+            pltpu.make_async_copy(
+                src(hi, halo),
+                slab.at[buf, :, pl.ds(halo + tx, halo), :],
+                sem.at[buf, jnp.int32(2)],
+            ),
+        ]
+
+    def _db_prologue(inputs):
+        """inputs: list of (ref, slab, sem).  Starts the current flat
+        tile's copies on the first iteration, prefetches the next
+        tile's into the other buffer, waits for the current tile, and
+        returns the buffer index holding it."""
+        b, i = pid()
+        fi = jnp.int32(i) if not B else (
+            jnp.int32(b) * jnp.int32(ntiles) + jnp.int32(i)
+        )
+        buf = jax.lax.rem(fi, jnp.int32(NBUF))
+
+        @pl.when(fi == jnp.int32(0))
+        def _():
+            for ref, slab, sem in inputs:
+                for cp in _tile_copies(ref, slab, sem, fi, buf):
+                    cp.start()
+
+        nfi = fi + jnp.int32(1)
+
+        @pl.when(nfi < jnp.int32(n_flat))
+        def _():
+            nbuf = jax.lax.rem(nfi, jnp.int32(NBUF))
+            for ref, slab, sem in inputs:
+                for cp in _tile_copies(ref, slab, sem, nfi, nbuf):
+                    cp.start()
+
+        for ref, slab, sem in inputs:
+            for cp in _tile_copies(ref, slab, sem, fi, buf):
+                cp.wait()
+        return buf
     cs1x = deriv_coeffs(1, sw, ops.spacing[0])
     cs2x = deriv_coeffs(2, sw, ops.spacing[0])
     cs1y = deriv_coeffs(1, sw, ops.spacing[1])
@@ -345,11 +438,9 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
         # catastrophic f32 cancellation of O(1e4) fields with O(1e-4)
         # derivatives.
         b, i = pid()
-        cp = pltpu.make_async_copy(slab_src(u_ref, b, i), slab, sem)
-        cp.start()
-        cp.wait()
+        buf = _db_prologue([(u_ref, slab, sem)])
         t = scv(sc_ref, b, 0)
-        fields = groom_slab(slab[:])
+        fields = groom_slab(slab[buf])
         rho, Us = fields[0], fields[1:]
         G = G_fn(rho, *Us, t)
         Gc = G - scv(sc_ref, b, 1 + dof)  # centered free energy
@@ -370,8 +461,9 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
 
     def _jvp_rows(t, slab, vslab):
         """The J-action rows on the tile interior (shared by the jvp
-        and fused-residual kernels)."""
-        fields = groom_slab(slab[:])
+        and fused-residual kernels).  slab/vslab are VALUES (loaded
+        slab buffers), not refs."""
+        fields = groom_slab(slab)
         rho, Us = fields[0], fields[1:]
         # clamp derivative: tangent zeroed where the clamp is active
         vrho = jnp.where(slab[0] > rhomin, vslab[0], 0.0)
@@ -404,13 +496,8 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
 
     def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
         b, i = pid()
-        cp = pltpu.make_async_copy(slab_src(u_ref, b, i), slab, sem)
-        cp.start()
-        cpv = pltpu.make_async_copy(slab_src(v_ref, b, i), vslab, vsem)
-        cpv.start()
-        cp.wait()
-        cpv.wait()
-        rows = _jvp_rows(scv(t_ref, b, 0), slab, vslab)
+        buf = _db_prologue([(u_ref, slab, sem), (v_ref, vslab, vsem)])
+        rows = _jvp_rows(scv(t_ref, b, 0), slab[buf], vslab[buf])
         for f in range(dof):
             o_ref[oix(f)] = rows[f]
 
@@ -423,16 +510,12 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
         # shift term uses the RAW tangent (W = shift*I - J with the
         # clamp zeroing J's rows only).
         b, i = pid()
-        cp = pltpu.make_async_copy(slab_src(u_ref, b, i), slab, sem)
-        cp.start()
-        cpv = pltpu.make_async_copy(slab_src(v_ref, b, i), vslab, vsem)
-        cpv.start()
-        cp.wait()
-        cpv.wait()
+        buf = _db_prologue([(u_ref, slab, sem), (v_ref, vslab, vsem)])
         shift = scv(sc_ref, b, 1)
-        rows = _jvp_rows(scv(sc_ref, b, 0), slab, vslab)
+        vval = vslab[buf]
+        rows = _jvp_rows(scv(sc_ref, b, 0), slab[buf], vval)
         for f in range(dof):
-            v_c = vslab[f][halo : halo + tx, :]
+            v_c = vval[f][halo : halo + tx, :]
             o_ref[oix(f)] = b_ref[oix(f)] - shift * v_c + rows[f]
 
     G_delta_fn = getattr(ops, "_G_delta_fn", None)
@@ -451,21 +534,16 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
         # is either small (drho, dG) or centered (G0c, rho0c).  The
         # shifted-state slab feeds the clamp-to-floor branch of dG.
         b, i = pid()
-        cps = []
-        for ref, scratch, s in (
+        buf = _db_prologue([
             (u_ref, slab, sem), (d_ref, dslab, dsem), (s_ref, sslab, ssem),
-        ):
-            cp = pltpu.make_async_copy(slab_src(ref, b, i), scratch, s)
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
+        ])
         t = scv(sc_ref, b, 0)
-        rho0 = slab[0]
-        Us0 = [slab[1 + l] for l in range(dof - 1)]
-        drho = dslab[0]
-        dUs = [dslab[1 + l] for l in range(dof - 1)]
-        f1 = [sslab[l] for l in range(dof)]
+        uval, dval, sval = slab[buf], dslab[buf], sslab[buf]
+        rho0 = uval[0]
+        Us0 = [uval[1 + l] for l in range(dof - 1)]
+        drho = dval[0]
+        dUs = [dval[1 + l] for l in range(dof - 1)]
+        f1 = [sval[l] for l in range(dof)]
         G0c = G_fn(rho0, *Us0, t) - scv(sc_ref, b, 2)
         dG = G_delta_fn(rho0, *Us0, drho, *dUs, *f1, t)
         Gs = G0c + dG
@@ -535,31 +613,24 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
             (dof, tx, ny), lambda i, t: (i * 0, i, i * 0),
             memory_space=pltpu.VMEM,
         )
-    grid_spec_rhs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=kgrid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=tile_blk,
-        scratch_shapes=[
-            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    grid_spec_jvp = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=kgrid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=tile_blk,
-        scratch_shapes=[
-            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
-            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
+    _slab = pltpu.VMEM((NBUF, dof, tx + 2 * halo, ny), jnp.float32)
+    _sems = pltpu.SemaphoreType.DMA((NBUF, nchunks))
+    # sharded sources arrive ppermute-padded; single-shard/batched
+    # sources are read unpadded (wrap chunks)
+    maybe_pad = pad_x if padded_src else (lambda u: u)
+
+    def _grid_spec(n_any, extra_in=()):
+        return pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=kgrid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_any
+            + list(extra_in),
+            out_specs=tile_blk,
+            scratch_shapes=[_slab] * n_any + [_sems] * n_any,
+        )
+
+    grid_spec_rhs = _grid_spec(1)
+    grid_spec_jvp = _grid_spec(2)
 
     _cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
@@ -567,61 +638,29 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
         return pl.pallas_call(
             rhs_kernel, out_shape=out_shape, grid_spec=grid_spec_rhs,
             interpret=interpret, compiler_params=_cparams,
-        )(sc, pad_x(u32))
+        )(sc, maybe_pad(u32))
 
     def jvp_local(tarr, u32, v32):
         return pl.pallas_call(
             jvp_kernel, out_shape=out_shape, grid_spec=grid_spec_jvp,
             interpret=interpret, compiler_params=_cparams,
-        )(tarr, pad_x(u32), pad_x(v32))
+        )(tarr, maybe_pad(u32), maybe_pad(v32))
 
-    grid_spec_resid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=kgrid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            tile_blk,
-        ],
-        out_specs=tile_blk,
-        scratch_shapes=[
-            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
-            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
+    grid_spec_resid = _grid_spec(2, extra_in=[tile_blk])
 
     def resid_local(sc, u32, v32, b32):
         return pl.pallas_call(
             resid_kernel, out_shape=out_shape, grid_spec=grid_spec_resid,
             interpret=interpret, compiler_params=_cparams,
-        )(sc, pad_x(u32), pad_x(v32), b32)
+        )(sc, maybe_pad(u32), maybe_pad(v32), b32)
 
-    grid_spec_delta = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=kgrid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=tile_blk,
-        scratch_shapes=[
-            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
-            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
-            pltpu.VMEM((dof, tx + 2 * halo, ny), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
+    grid_spec_delta = _grid_spec(3)
 
     def delta_local(sc, u32, d32, s32):
         return pl.pallas_call(
             delta_kernel, out_shape=out_shape, grid_spec=grid_spec_delta,
             interpret=interpret, compiler_params=_cparams,
-        )(sc, pad_x(u32), pad_x(d32), pad_x(s32))
+        )(sc, maybe_pad(u32), maybe_pad(d32), maybe_pad(s32))
 
     rhs_sharded = shardwrap(rhs_local, 1)
     jvp_sharded = shardwrap(jvp_local, 2)
