@@ -146,7 +146,9 @@ def pallas_available(grid, ops=None):
         if grid.dim != 2:
             return False
         if _interpret_forced():
-            return True
+            # the unpadded wrap-chunk DMA addresses rows in 8-row
+            # units even in interpret mode
+            return int(grid.nps[0]) % 8 == 0
         # Mosaic constraint on real TPU: ny rides the 128-lane tile
         # (any DMA slice of a misaligned lane extent is rejected);
         # x tiles need 8-row alignment.  Small/odd grids take the XLA
@@ -273,6 +275,13 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
         axis_x = mesh.axis_names[0]
         n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_x]
     nx_loc = nx // n_shards
+    if nx_loc % 8:
+        # wrap-chunk/tile DMA offsets are computed in 8-row units;
+        # pallas_available routes such grids to the XLA path
+        raise ValueError(
+            "pallas kernels require the per-shard row count to be a "
+            "multiple of 8; got nx=%d over %d shard(s)" % (nx, n_shards)
+        )
     dof = ops.nligands + 1
     sw = ops.sw
     tx = min(tile_x, nx_loc)
