@@ -123,6 +123,20 @@ def member_batching_rules(build_batched, fns):
     return {name: _vmappable(fn, name) for name, fn in fns.items()}
 
 
+def _tile_rows(nx_loc, tile_x=128):
+    """The x-tile row count the kernel builder will pick for a
+    per-shard extent: tile_x halved until it divides nx_loc."""
+    tx = min(tile_x, max(1, nx_loc))
+    while nx_loc % tx:
+        tx //= 2
+    return tx
+
+
+def _halo_rows(sw):
+    """Halo rows rounded up to the 8-row DMA alignment unit."""
+    return ((int(sw) + 7) // 8) * 8
+
+
 def pallas_available(grid, ops=None):
     """Fused kernels support plain 2D operators on TPU.
 
@@ -145,15 +159,21 @@ def pallas_available(grid, ops=None):
             return pallas3d_available(grid, ops)
         if grid.dim != 2:
             return False
+        nx, ny = (int(n) for n in grid.nps)
+        # The unpadded wrap-chunk DMA assumes the lo/hi halo chunks
+        # never straddle the periodic boundary, which requires
+        # halo <= tx (a wide stencil on a grid whose tile collapses
+        # to 8 rows would read out of bounds) — fall back to XLA.
+        if _halo_rows(grid.stencil_width) > _tile_rows(nx):
+            return False
         if _interpret_forced():
             # the unpadded wrap-chunk DMA addresses rows in 8-row
             # units even in interpret mode
-            return int(grid.nps[0]) % 8 == 0
+            return nx % 8 == 0
         # Mosaic constraint on real TPU: ny rides the 128-lane tile
         # (any DMA slice of a misaligned lane extent is rejected);
         # x tiles need 8-row alignment.  Small/odd grids take the XLA
         # path, where they are cheap anyway.
-        nx, ny = (int(n) for n in grid.nps)
         return (
             ny % 128 == 0
             and nx % 8 == 0
@@ -166,7 +186,8 @@ def pallas_available(grid, ops=None):
 def pallas_mesh_ok(mesh, grid):
     """True iff the fused kernels can run sharded over this mesh:
     only the leading spatial axis split, and each shard keeps at
-    least one aligned tile of rows."""
+    least one aligned tile of rows (with room for the halo chunks:
+    halo <= tile rows, see pallas_available)."""
     if mesh is None:
         return True
     shape = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -174,7 +195,9 @@ def pallas_mesh_ok(mesh, grid):
     if any(shape[a] != 1 for a in mesh.axis_names[1:]):
         return False
     nx = int(grid.nps[0])
-    return nx % n_x == 0 and (nx // n_x) % 8 == 0
+    if nx % n_x or (nx // n_x) % 8:
+        return False
+    return _halo_rows(grid.stencil_width) <= _tile_rows(nx // n_x)
 
 
 def sharding_mesh(u):
@@ -292,7 +315,17 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
     # aligned to the (8,128) f32 tile in both offset and extent, and
     # the no-pad wrap chunks below slice the source at row offsets
     # base-halo / base+tx, so every piece must stay 8-aligned.
-    halo = ((sw + 7) // 8) * 8
+    halo = _halo_rows(sw)
+    if halo > tx:
+        # the unpadded wrap-chunk DMA reads [base-halo, base) and
+        # [base+tx, base+tx+halo) as single chunks, which straddle the
+        # periodic boundary (out-of-bounds reads) when halo > tx;
+        # pallas_available/pallas_mesh_ok route such configurations to
+        # the XLA path before reaching here
+        raise ValueError(
+            "pallas kernels need halo (%d) <= tile rows (%d); "
+            "stencil too wide for this per-shard extent" % (halo, tx)
+        )
     # ---- member batching (ensemble axis) -------------------------
     B = int(batch)
     if B and n_shards > 1:

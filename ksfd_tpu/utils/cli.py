@@ -398,5 +398,15 @@ def decode_numerics(tokens, petsc_tokens=()):
     if arkimex_scheme is not None and opts.ts_type == "arkimex":
         opts.ts_type = arkimex_scheme
     if opts.unrecognized:
+        # the -options_left analog (the reference's options files end
+        # with PETSc self-checks, /root/reference/options84 PETSc
+        # block): surface ignored/translated tokens on stderr by
+        # default so a typo in a numerics block is never silently
+        # absorbed; KSFDDEBUG=MAIN adds the debug-log copy.
+        print(
+            "ksfd: numerics options ignored or translated: "
+            + "; ".join(opts.unrecognized),
+            file=sys.stderr,
+        )
         logMAIN("ignored numerics options:", opts.unrecognized)
     return opts

@@ -68,6 +68,39 @@ def test_pallas_jvp_matches_xla(ops2d):
     assert np.abs(out - ref).max() / np.abs(ref).max() < 5e-4
 
 
+def test_pallas_halo_exceeds_tile_falls_back(monkeypatch):
+    """A stencil whose halo (rounded to 8-row DMA units) exceeds the
+    tile row count must be routed to the XLA path: the unpadded
+    wrap-chunk DMA reads [base-halo, base) as ONE chunk, which
+    straddles the periodic boundary when halo > tx (ADVICE r2)."""
+    import jax as jax_mod
+    from ksfd_tpu.ops import pallas_stencil as pst
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.delenv("KSFD_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setattr(jax_mod, "devices", lambda: [_Dev()])
+    # order=17 -> sw=9 -> halo rounds to 16; nx=136 collapses the tile
+    # to 8 rows (128 -> 64 -> ... -> 8), so halo > tx
+    wide = Grid(dim=2, width=1.0, height=1.0, nx=136, ny=128, dof=3,
+                order=17)
+    assert pst._halo_rows(wide.stencil_width) > pst._tile_rows(136)
+    assert not pst.pallas_available(wide, None)
+    # same stencil with a tile that fits the halo stays available
+    ok = Grid(dim=2, width=1.0, height=1.0, nx=128, ny=128, dof=3,
+              order=17)
+    assert pst.pallas_available(ok, None)
+    # sharded: 8 shards of a 64-row grid leave 8-row tiles < halo
+    from ksfd_tpu.parallel import grid_mesh
+
+    monkeypatch.undo()
+    small = Grid(dim=2, width=1.0, height=1.0, nx=64, ny=128, dof=3,
+                 order=17)
+    mesh = grid_mesh(small, shape=(8, 1))
+    assert not pst.pallas_mesh_ok(mesh, small)
+
+
 def test_pallas_rhs_periodic_wrap(ops2d):
     """The x-halo padding must reproduce periodic wraparound exactly:
     translate the state by one tile; outputs translate too."""

@@ -157,3 +157,16 @@ def test_decode_numerics_unknown_adaptor_recorded():
     opts = decode_numerics(["-ts_adapt_type", "dsp"])
     assert opts.adapt_type == "basic"
     assert any("ts_adapt_type dsp" in u for u in opts.unrecognized)
+
+
+def test_decode_numerics_surfaces_ignored_options(capsys):
+    """Ignored/translated numerics tokens print ONE stderr line by
+    default (the -options_left analog): a user typo in a numerics
+    block must never be silently absorbed (VERDICT r2 missing #2)."""
+    decode_numerics(["-ksp_typo", "gmres"])
+    err = capsys.readouterr().err
+    assert "ignored or translated" in err
+    assert "ksp_typo gmres" in err
+    # clean blocks stay silent
+    decode_numerics(["-ts_type", "rosw"])
+    assert "ignored" not in capsys.readouterr().err
