@@ -33,12 +33,26 @@ SPATIAL_AXES = ("x", "y", "z")
 def mesh_shape_for(n_devices, grid_dims, nps=None):
     """Split n_devices over up to grid_dims mesh axes.
 
-    Prefers splitting the leading (largest-stride) spatial axes;
-    factors n_devices as evenly as possible.  nps (points per axis)
-    caps each mesh axis so a tiny grid never gets oversharded.
+    Choosing the decomposition is the framework's job (the reference's
+    DMDA picks its own process grid, KSFD/ksfdgrid.py:388-411), so the
+    default must keep the fast path alive: for 2D/3D grids an X-ONLY
+    split is preferred whenever every shard keeps 8-row-aligned tiles
+    (nx % (8*n_devices) == 0) — the fused Pallas kernels require the
+    leading spatial axis to be the only sharded one (pallas_mesh_ok),
+    and a balanced factoring like (4, 2) would silently drop every
+    multi-chip run to the XLA path.  Falls back to the most-balanced
+    factoring otherwise (or when nps is unknown).  nps (points per
+    axis) also caps each mesh axis so a tiny grid never gets
+    oversharded.
     """
     if grid_dims == 1:
         shape = [n_devices]
+    elif (
+        nps is not None
+        and n_devices > 1
+        and int(nps[0]) % (8 * n_devices) == 0
+    ):
+        shape = [n_devices] + [1] * (grid_dims - 1)
     else:
         # factor n_devices into grid_dims parts, most-balanced first
         shape = [1] * grid_dims

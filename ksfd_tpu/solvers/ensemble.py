@@ -197,8 +197,12 @@ class EnsembleSolver:
         if not batchable:
             nm = dataclasses.replace(nm, use_pallas=False)
         self._nm_eff = nm
+        # unsharded members live on ONE device (just verified by the
+        # caller), so the unsharded batched kernels are safe even on a
+        # multi-device backend — opt out of make_step_fn's guard
         step, _ = make_step_fn(
-            self.ops, nm, atol=self.atol, rtol=self.rtol
+            self.ops, nm, atol=self.atol, rtol=self.rtol,
+            unsharded_ok=batchable,
         )
         self._vstep = jax.jit(jax.vmap(step))
         self._vmulti = None
@@ -206,7 +210,8 @@ class EnsembleSolver:
             from .solver import make_multistep_fn
 
             multi, _ = make_multistep_fn(
-                self.ops, nm, atol=self.atol, rtol=self.rtol
+                self.ops, nm, atol=self.atol, rtol=self.rtol,
+                unsharded_ok=batchable,
             )
             self._vmulti = jax.jit(
                 jax.vmap(multi, in_axes=(0, 0, 0, None)),
@@ -231,6 +236,7 @@ class EnsembleSolver:
                 self.ops, nm, atol=self.atol, rtol=self.rtol,
                 max_attempts=128,
                 cfl_safety=chunk_cfl_safety(self.ps),
+                unsharded_ok=batchable,
             )
             self._vchunk = jax.jit(jax.vmap(chunk))
         self._vfallback = None
@@ -250,7 +256,8 @@ class EnsembleSolver:
                 snes_iters=max(4, self._nm_eff.snes_iters),
             )
             fb, _ = make_step_fn(
-                self.ops, nm, atol=self.atol, rtol=self.rtol
+                self.ops, nm, atol=self.atol, rtol=self.rtol,
+                unsharded_ok=(self._vstep_flavor == "auto"),
             )
             self._vfallback = jax.jit(jax.vmap(fb))
         return self._vfallback

@@ -269,6 +269,148 @@ def test_mixed_precision_pallas_W(ops2d, monkeypatch):
     assert abs(float(e_pal) - float(e_ref)) / float(e_ref) < 1e-2
 
 
+def test_sharded_f64_mixed_step_matches_single(ops2d, monkeypatch):
+    """The FLAGSHIP path multi-chip-true (VERDICT r2 next #1): the
+    default f64 mixed-precision step built with mesh= runs its
+    delta/jvp/resid kernels sharded (shard_map + ppermute) and matches
+    the single-device step at the established envelope."""
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.parallel import distribute, grid_mesh
+    from ksfd_tpu.solvers import make_step_fn
+    from ksfd_tpu.solvers.solver import BUILD_INFO
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = ops2d
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    t = jnp.asarray(0.0)
+    h = jnp.asarray(1e-3)  # accepted-step region
+
+    step_1, _ = make_step_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6
+    )
+    assert BUILD_INFO["mixed32"] and BUILD_INFO["pallas_delta"]
+    u_ref, e_ref = step_1(u0, t, h)
+    assert float(e_ref) < 1.0
+
+    mesh = grid_mesh(grid, shape=(8, 1))
+    step_s, _ = make_step_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6, mesh=mesh
+    )
+    # every fused kernel of the mixed path engaged, SHARDED
+    assert BUILD_INFO["mesh_shape"] == {"x": 8, "y": 1}
+    assert BUILD_INFO["mixed32"]
+    assert BUILD_INFO["pallas_delta"] and BUILD_INFO["pallas_jvp"]
+    assert BUILD_INFO["pallas_resid"]
+    u_sh, _ = distribute(u0, grid, mesh=mesh)
+    u_s, e_s = step_s(u_sh, t, h)
+    assert u_s.dtype == jnp.float64
+    assert not u_s.sharding.is_fully_replicated
+    inc = float(jnp.max(jnp.abs(u_ref - u0)))
+    dev = float(jnp.max(jnp.abs(u_s - u_ref)))
+    assert dev / inc < 1e-5, (dev, inc)
+    assert abs(float(e_s) - float(e_ref)) / float(e_ref) < 1e-2
+
+
+def test_sharded_adaptive_chunk_f64(ops2d, monkeypatch):
+    """The device-fused adaptive chunk runs SHARDED on the f64 mixed
+    path: same accept/attempt counts and trajectory as single-device."""
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.parallel import distribute, grid_mesh
+    from ksfd_tpu.solvers.solver import make_adaptive_chunk_fn
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = ops2d
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    t0, h0 = jnp.asarray(0.0), jnp.asarray(1e-3)
+
+    chunk1, _ = make_adaptive_chunk_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6
+    )
+    u1, t1, h1, k1, a1, r1 = chunk1(u0, t0, h0, 1e9, 5)
+    assert int(k1) > 0
+
+    mesh = grid_mesh(grid, shape=(8, 1))
+    u_sh, _ = distribute(u0, grid, mesh=mesh)
+    chunks, _ = make_adaptive_chunk_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6, mesh=mesh
+    )
+    us, ts_, hs_, ks_, as_, rs_ = chunks(u_sh, t0, h0, 1e9, 5)
+    assert int(ks_) == int(k1) and int(as_) == int(a1)
+    assert not us.sharding.is_fully_replicated
+    inc = float(jnp.max(jnp.abs(u1 - u0)))
+    assert float(jnp.max(jnp.abs(us - u1))) / inc < 1e-4
+    assert abs(float(ts_) - float(t1)) / float(t1) < 1e-3
+
+
+def test_solver_sharded_f64_default_mesh_engages_pallas(
+    ops2d, monkeypatch
+):
+    """End-to-end VERDICT r2 next #1+#2: a DEFAULT-mesh (x-only via
+    mesh_shape_for) sharded f64 run through Solver.solve keeps
+    use_pallas on, rebuilds on the sharded kernels, and matches the
+    single-device solve."""
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.parallel import distribute
+    from ksfd_tpu.solvers import Solver
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = ops2d
+    u0 = jnp.asarray(rough_state(grid))
+    numerics = NumericsOptions(adapt_type="none")  # f64 mixed default
+
+    def run(u):
+        s = Solver(
+            ops, numerics, t0=0.0, dt=1e-3, tmax=1e9, maxsteps=3,
+            rtol=1e-6, atol=0.01,
+        )
+        return s, np.asarray(s.solve(u))
+
+    s1, ref = run(u0)
+    u_sh, mesh = distribute(u0, grid)  # DEFAULT mesh: x-only
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "x": 8, "y": 1,
+    }
+    ss, out = run(u_sh)
+    assert ss._mesh is mesh
+    assert ss.numerics.use_pallas
+    assert ss.build_info["mixed32"] and ss.build_info["pallas_delta"]
+    assert ss.build_info["mesh_shape"] == {"x": 8, "y": 1}
+    inc = np.abs(ref - np.asarray(ops.groom(u0))).max()
+    assert np.abs(out - ref).max() / inc < 1e-4
+
+
+def test_unsharded_pallas_guard_multidevice(ops2d, monkeypatch):
+    """On a multi-device backend without forced interpret, make_step_fn
+    must NOT engage unsharded Pallas kernels when no mesh is given
+    (the driver shards state whenever >1 device exists); unsharded_ok
+    re-enables them after the caller confirms single-device state."""
+    import jax as jax_mod
+    from ksfd_tpu import Grid as _Grid
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.ops import PDEOperators
+    from ksfd_tpu.solvers import make_step_fn
+    from ksfd_tpu.solvers.solver import BUILD_INFO
+
+    ps, _grid, _ops = ops2d
+    # lane-aligned grid so pallas_available holds on (fake) real TPU
+    grid = _Grid(dim=2, width=1.0, height=1.0, nx=64, ny=128, dof=3,
+                 order=3)
+    ops = PDEOperators(ps, grid)
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.delenv("KSFD_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setattr(jax_mod, "devices", lambda: [_Dev(), _Dev()])
+    make_step_fn(ops, NumericsOptions(), atol=0.01, rtol=1e-6)
+    assert not BUILD_INFO["pallas_jvp"]  # guard fired
+    assert not BUILD_INFO["pallas_delta"]
+    make_step_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6, unsharded_ok=True
+    )
+    assert BUILD_INFO["pallas_jvp"] and BUILD_INFO["pallas_delta"]
+
+
 # ---------------------------------------------------------------------
 # stage-delta kernel: f(u0 + d) - f(u0) via cancellation-free forms
 # ---------------------------------------------------------------------

@@ -22,6 +22,27 @@ def test_mesh_shape_factoring():
     assert mesh_shape_for(1, 2) == (1, 1)
 
 
+def test_mesh_shape_prefers_x_only_for_fused_kernels():
+    """Default 2D/3D meshes go X-ONLY whenever every shard keeps
+    8-row-aligned tiles (VERDICT r2 next #2): a balanced (4, 2)
+    factoring would silently drop multi-chip runs off the fused
+    Pallas kernels (pallas_mesh_ok requires x-only)."""
+    assert mesh_shape_for(8, 2, nps=(1024, 1024)) == (8, 1)
+    assert mesh_shape_for(8, 2, nps=(64, 64)) == (8, 1)
+    assert mesh_shape_for(8, 3, nps=(64, 16, 16)) == (8, 1, 1)
+    assert mesh_shape_for(4, 2, nps=(1536, 1536)) == (4, 1)
+    # nx not 8*ndev-aligned: balanced factoring (capped) as before
+    assert sorted(mesh_shape_for(8, 2, nps=(36, 1024))) == [2, 4]
+    assert mesh_shape_for(1, 2, nps=(64, 64)) == (1, 1)
+    # the x-only shape must still pass the kernel mesh gate
+    from ksfd_tpu.ops.pallas_stencil import pallas_mesh_ok
+
+    grid = Grid(dim=2, width=1.0, height=1.0, nx=1024, ny=1024,
+                dof=3, order=3)
+    mesh = grid_mesh(grid)
+    assert pallas_mesh_ok(mesh, grid)
+
+
 def test_rhs_sharded_matches_single():
     ps, grid, ops = make_problem(nx=64)
     u = jnp.asarray(exact_state(ps, grid, 0.0))
