@@ -75,13 +75,45 @@ def resume_values(clargs, grid, ps):
     snapshot spacing > default (ksfdsolver2.py:525-578).  Returns
     (state, t, extras) where extras may hold rng_key / step counter
     for bit-exact resume.
+
+    Multi-process runs resume THROUGH THE SLAB FILES: each process
+    opens its own '<prefix>s<size>r<rank>.h5' (the reference's
+    per-rank read chain, KSFD/ksfdtimeseries.py:188-243) and returns
+    its slab plus its box in extras['box']; the driver reassembles the
+    global sharded state with global_from_local.  Resuming a slab set
+    written by a DIFFERENT process count requires tsmerge first, like
+    the reference.
     """
+    import jax
+
     prefix = clargs.resume or clargs.restart
+    nprocs = jax.process_count()
     cpf = TimeSeries(
         prefix, grid=grid, mode="r",
+        size=nprocs, rank=jax.process_index(),
         retries=clargs.series_retries,
         retry_interval=clargs.series_retry_interval,
     )
+    full_box = tuple((0, int(n)) for n in grid.nps)
+    box = cpf.ranges if cpf.ranges is not None else full_box
+    if box != full_box:
+        # the fallback filename chain may have found SOME rank's slab
+        # of a differently-sized run; only this process's own slab of
+        # a same-size run is resumable
+        from .utils.exceptions import KSFDException
+        from .io.timeseries import parse_filename
+        import os as _os
+
+        _, fsize, frank, _ = parse_filename(
+            _os.path.basename(cpf.filename)
+        )
+        if fsize != nprocs or frank != jax.process_index():
+            raise KSFDException(
+                "cannot resume slab series %r (written by %d ranks) "
+                "with %d process(es); merge it first: "
+                "python tools/tsmerge.py %s -o <merged>"
+                % (cpf.filename, fsize, nprocs, prefix)
+            )
     stimes = cpf.sorted_times()
     tlast = stimes[-1]
     state = cpf.load_solver_state()
@@ -115,7 +147,10 @@ def resume_values(clargs, grid, ps):
         else:
             ps.params0["lastvart"] = float(ps.t0)
     values = cpf.retrieve_by_time(tlast)
+    shape = cpf.local_shape
     cpf.close()
-    u = np.asarray(values).reshape(grid.Vshape)
-    logMAIN("resumed at t", t)
+    u = np.asarray(values).reshape(shape)
+    if box != full_box:
+        extras["box"] = box
+    logMAIN("resumed at t", t, "box", box if box != full_box else "full")
     return u, t, extras

@@ -340,7 +340,20 @@ def main(*args):
         mesh = grid_mesh(grid)
         if nprocs > 1:
             slab = process_box(grid, state_sharding(mesh))
-        u0 = global_from_local(np.asarray(u0), grid, mesh)
+        # a multi-process resume read only this process's slab; its box
+        # (extras['box'], from the checkpoint's /ranges) seeds the
+        # reassembly — it must match the block this run's mesh assigns
+        # the process (resuming with a different device layout needs a
+        # tsmerge first, like a different rank count)
+        box = extras.get("box")
+        if box is not None and slab is not None and \
+                tuple(box) != tuple(slab):
+            raise KSFDException(
+                "checkpoint slab %r does not match this run's "
+                "decomposition %r; tsmerge the series first"
+                % (box, slab)
+            )
+        u0 = global_from_local(np.asarray(u0), grid, mesh, box=box)
     if clargs.save:
         tseries = TimeSeries(
             clargs.save, grid=grid, mode="w",
