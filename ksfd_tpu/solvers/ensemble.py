@@ -10,18 +10,18 @@ own (t, h, PRNG key, controller state) on the host, and the member
 axis shards over the device mesh as pure DP (no cross-member
 communication at all, so scaling is embarrassing by construction).
 
-Semantics per member match the scalar `Solver` host loop (accept /
+Semantics per member match the scalar `Solver` host loop: accept /
 reject via the embedded WLTE estimate, PETSc-style h controller with
-clip/rollback, GMRES fallback retry at the same h, CFL clamp, noise
-injection with per-member keys, worm-count conservation) with one
-deliberate simplification: the scalar loop's fallback-solver
-*hysteresis* (staying on GMRES for 64 accepts after an engage,
-Solver._get_fallback) is not carried per member — each rejected
-member retries the same h on the robust solver that iteration only.
-Trajectories where the fallback never engages are identical to the
-scalar loop's up to the mixed-precision cross-compilation envelope
-(vmapped step vs scalar step are different XLA executables; see
-docs/PERF.md "f32 combination passes").
+clip/rollback, GMRES fallback retry at the same h WITH the scalar
+controller's per-member hysteresis (a rescued member stays on the
+robust solver for fb_probe accepts before re-probing the fast path;
+chunk-stuck members scale the probe by the consecutive-rejection
+streak, exactly like Solver._chunk_rej_streak), CFL clamp, noise
+injection with per-member keys, and worm-count conservation.
+Trajectories are identical to the scalar loop's up to the
+mixed-precision cross-compilation envelope (vmapped step vs scalar
+step are different XLA executables; see docs/PERF.md "f32 combination
+passes").
 
 Usage:
     es = EnsembleSolver(ops, numerics, t0=.., dt=.., tmax=..,
@@ -385,6 +385,12 @@ class EnsembleSolver:
         members shrink h and count a failure."""
         n = self.numerics
         N = len(ts)
+        # members parked on the robust fallback (hysteresis) skip the
+        # chunk this iteration (max_accepts=0 no-ops them on device)
+        # and take one host fallback step below — the scalar Solver's
+        # _fb_mode arm of the device-loop controller
+        fbm = active & self._fbm
+        chunk_active = active & ~self._fbm
         tmax_eff = np.full(N, self.tmax)
         if self._noise_active():
             from .solver import next_noise_time
@@ -395,10 +401,10 @@ class EnsembleSolver:
                 )
                 if tn is not None and tn < tmax_eff[i]:
                     tmax_eff[i] = tn
-        max_acc = np.where(active, self.maxsteps - ks, 0).astype(
+        max_acc = np.where(chunk_active, self.maxsteps - ks, 0).astype(
             np.int32
         )
-        straddled = active & (tmax_eff < ts)
+        straddled = chunk_active & (tmax_eff < ts)
         if straddled.any():
             tmax_eff = np.where(straddled, self.tmax, tmax_eff)
             max_acc = np.where(
@@ -426,18 +432,41 @@ class EnsembleSolver:
             U, hs, lastvart = self._post_accept(
                 U, ts, hs, lastvart, anyacc, conserve, Nw0, vrefresh
             )
-        stuck = active & rej
-        if stuck.any():
-            logENS("vchunk stuck members", np.nonzero(stuck)[0])
+        stuck = chunk_active & rej
+        # the scalar controller's _chunk_rej_streak, per member: a
+        # zero-accept rejection doubles the next fallback-probe length
+        # so a persistently-marginal member settles into fallback
+        # stepping instead of paying a wasted chunk dispatch per step
+        self._rejstreak = np.where(
+            stuck & (kacc == 0),
+            self._rejstreak + 1,
+            np.where(chunk_active, 0, self._rejstreak),
+        )
+        need_fb = stuck | fbm
+        if need_fb.any():
             vfb = self._get_vfallback()
             ebn = np.full(N, np.nan)
+            rescued = np.zeros(N, dtype=bool)
             if vfb is not None:
+                if stuck.any():
+                    logENS("vchunk stuck members", np.nonzero(stuck)[0])
+                    # stuck members engage fallback mode at the
+                    # streak-scaled probe (min(64, 2**streak))
+                    self._fbprobe = np.where(
+                        stuck,
+                        np.minimum(
+                            64, 1 << np.minimum(self._rejstreak, 6)
+                        ),
+                        self._fbprobe,
+                    )
+                    self._fbacc = np.where(stuck, 0, self._fbacc)
+                    self._fbm = self._fbm | stuck
                 u1b, eb = vfb(U, jnp.asarray(ts), jnp.asarray(hs))
                 ebn = np.asarray(eb)
-                rescued = stuck & np.isfinite(ebn) & (ebn <= 1.0)
+                rescued = need_fb & np.isfinite(ebn) & (ebn <= 1.0)
                 if rescued.any():
                     logENS(
-                        "fallback rescued members",
+                        "fallback accepted members",
                         np.nonzero(rescued)[0],
                     )
                     selr = jnp.asarray(rescued).reshape(
@@ -448,7 +477,6 @@ class EnsembleSolver:
                     ks = ks + rescued
                     anyacc = anyacc | rescued
                     consec = np.where(rescued, 0, consec)
-                    stuck = stuck & ~rescued
                     hs = np.where(
                         rescued, self._h_accept_vec(hs, ebn), hs
                     )
@@ -456,13 +484,26 @@ class EnsembleSolver:
                         U, ts, hs, lastvart, rescued, conserve, Nw0,
                         vrefresh,
                     )
-            snes = snes + stuck
-            consec = np.where(stuck, consec + 1, consec)
+                    # hysteresis: exit fallback mode after fb_probe
+                    # accepts (the rescue counts as the first)
+                    self._fbacc = np.where(
+                        rescued, self._fbacc + 1, self._fbacc
+                    )
+                    leave = rescued & (
+                        self._fbacc % np.maximum(self._fbprobe, 1) == 0
+                    )
+                    self._fbm = self._fbm & ~leave
+            failed = need_fb & ~rescued
+            snes = snes + failed
+            consec = np.where(failed, consec + 1, consec)
             hs = np.where(
-                stuck,
+                failed,
                 self._h_reject_vec(hs, ebn, np.isfinite(ebn)),
                 hs,
             )
+            # a one-shot-probe member whose retry failed hands the
+            # (shrunk) h back to the fused chunk (scalar: _fb_probe==1)
+            self._fbm = self._fbm & ~(failed & (self._fbprobe <= 1))
             diverged = diverged | (consec > n.max_snes_failures)
         if anyacc.any():
             self.u = U
@@ -496,6 +537,14 @@ class EnsembleSolver:
         diverged = np.zeros(N, dtype=bool)
         consec = np.zeros(N, dtype=int)
         snes = np.zeros(N, dtype=int)
+        # per-member fallback hysteresis (the scalar controller's
+        # _fb_mode/_fb_accepts/_fb_probe/_chunk_rej_streak, Solver):
+        # a member whose step the robust solver rescued STAYS on it
+        # for fb_probe accepts before probing the fast path again
+        self._fbm = np.zeros(N, dtype=bool)
+        self._fbacc = np.zeros(N, dtype=int)
+        self._fbprobe = np.full(N, 64, dtype=int)
+        self._rejstreak = np.zeros(N, dtype=int)
         self._keys = jax.vmap(jax.random.fold_in)(
             jnp.broadcast_to(self.rng_key, (N,) + self.rng_key.shape),
             jnp.arange(N),
@@ -551,30 +600,50 @@ class EnsembleSolver:
             rejected = active & (
                 (~finite) | (adapt & (e > 1.0))
             )
+            fbm = active & self._fbm
             if (
-                rejected.any()
-                and nblk == 1
+                nblk == 1
+                and ((rejected & ~self._fbm).any() or fbm.any())
                 and self._get_vfallback() is not None
             ):
                 u1b, eb = self._get_vfallback()(
                     U, jnp.asarray(ts), jnp.asarray(hs)
                 )
                 ebn = np.asarray(eb)
+                # members IN fallback mode take the robust result as
+                # THE step (the scalar loop never runs the fast step
+                # while _fb_mode holds); rejected fast-path members get
+                # the same-h robust retry and ENGAGE fallback mode
                 rescued = (
                     rejected
+                    & ~self._fbm
                     & np.isfinite(ebn)
                     & ((ebn <= 1.0) | (not adapt))
                 )
                 if rescued.any():
                     logENS("fallback rescued members", np.nonzero(rescued)[0])
-                    sel = jnp.asarray(rescued).reshape(
-                        (N,) + (1,) * (U.ndim - 1)
-                    )
-                    u1 = jnp.where(sel, u1b, u1)
-                    e = np.where(rescued, ebn, e)
-                    finite = finite | rescued
-                    rejected = rejected & ~rescued
+                    self._fbm = self._fbm | rescued
+                    self._fbacc = np.where(rescued, 0, self._fbacc)
+                    self._fbprobe = np.where(rescued, 64, self._fbprobe)
+                take_fb = fbm | rescued
+                sel = jnp.asarray(take_fb).reshape(
+                    (N,) + (1,) * (U.ndim - 1)
+                )
+                u1 = jnp.where(sel, u1b, u1)
+                e = np.where(take_fb, ebn, e)
+                finite = np.isfinite(e)
+                rejected = active & (
+                    (~finite) | (adapt & (e > 1.0))
+                )
             accepted = active & ~rejected
+            # hysteresis bookkeeping: after fb_probe accepts on the
+            # robust solver, probe the fast path again
+            fb_acc = accepted & self._fbm
+            self._fbacc = np.where(fb_acc, self._fbacc + 1, self._fbacc)
+            leave = fb_acc & (
+                self._fbacc % np.maximum(self._fbprobe, 1) == 0
+            )
+            self._fbm = self._fbm & ~leave
             snes += rejected
             consec = np.where(rejected, consec + 1, 0)
             diverged |= consec > n.max_snes_failures

@@ -355,3 +355,115 @@ def test_ensemble_u_current_during_run(prob):
     assert (es.ks == ks_last).all()
     assert ks_last.max() > 0  # interrupted mid-run, after real steps
     np.testing.assert_array_equal(np.asarray(es.u), U_last)
+
+
+def test_ensemble_fallback_hysteresis(prob):
+    """VERDICT r2 #8: a rescued member STAYS on the robust solver for
+    fb_probe accepts (the scalar controller's _fb_mode hysteresis)
+    and follows the scalar Solver's forced-failure trajectory.
+
+    The fast step is forced to fail once for member 0 and the robust
+    retry is forced to accept it (the true LTE at dt=1 rejects any
+    solver, so a natural rescue cannot be staged); the scalar oracle
+    gets the identical forcing, so every later controller decision —
+    including staying parked on the fallback — must match."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 2)
+    nm = NumericsOptions(sweep_dtype="float64")
+    kw = dict(t0=0.0, dt=1.0, tmax=1e6, maxsteps=8, rtol=1e-6,
+              atol=0.01)
+
+    def force_pair(step, fb, member=None):
+        """(wrapped_step, wrapped_fb): first step call fails (member 0
+        / the scalar run), first fb call accepts with enorm 0.5."""
+        st = {"step": True, "fb": True}
+
+        def wstep(u, t, h):
+            u1, e = step(u, t, h)
+            if st["step"]:
+                st["step"] = False
+                e = (
+                    jnp.asarray(e).at[0].set(jnp.inf)
+                    if member == 0 else jnp.asarray(jnp.inf)
+                )
+            return u1, e
+
+        def wfb(u, t, h):
+            u1, e = fb(u, t, h)
+            if st["fb"]:
+                st["fb"] = False
+                e = (
+                    jnp.asarray(e).at[0].set(0.5)
+                    if member == 0 else jnp.asarray(0.5)
+                )
+            return u1, e
+
+        return wstep, wfb
+
+    es = EnsembleSolver(ops, nm, **kw)
+    es._build_steps(False)
+    es._vstep, es._vfallback = force_pair(
+        es._vstep, es._get_vfallback(), member=0
+    )
+    out = es.solve(jnp.asarray(U0))
+    assert not out.diverged.any()
+    assert out.k[0] == 8 and out.k[1] == 8
+    # member 0 engaged the fallback and is still parked on it
+    assert es._fbm[0] and not es._fbm[1]
+    assert es._fbacc[1] == 0
+
+    # scalar oracle with the identical forcing
+    s = Solver(ops, nm, **kw)
+    s.step_fn, s._fallback_fn = force_pair(
+        s.step_fn, s._get_fallback()
+    )
+    us = np.asarray(s.solve(jnp.asarray(U0[0])))
+    assert s._fb_mode
+    assert es._fbacc[0] == s._fb_accepts
+    assert out.snes_failures[0] == s.snes_failures
+    assert out.k[0] == s.k
+    assert out.t[0] == pytest.approx(s.t, rel=1e-9)
+    assert out.h[0] == pytest.approx(s.h, rel=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), us, rtol=1e-9, atol=1e-9
+    )
+
+
+def test_ensemble_chunk_fallback_hysteresis(prob):
+    """Chunk-stuck members engage fallback mode at the streak-scaled
+    probe length, step host-side on the robust solver, and hand the
+    run back to the fused chunk after fb_probe accepts (the scalar
+    device-loop controller's _chunk_rej_streak semantics)."""
+    ps, grid, ops = prob
+    U0 = _members(ps, grid, 2)
+    nm = NumericsOptions(sweep_dtype="float64", device_loop=True)
+    kw = dict(t0=0.0, dt=1.0, tmax=1e6, maxsteps=6, rtol=1e-6,
+              atol=0.01)
+    es = EnsembleSolver(ops, nm, **kw)
+    es._build_steps(False)
+    real = es._vchunk
+    state = {"first": True}
+
+    def fake(U, ts, hs, tmax, macc):
+        u1, t1, h1, kacc, att, rej = real(U, ts, hs, tmax, macc)
+        if state["first"]:
+            state["first"] = False
+            # member 0: stuck, zero accepts, state/h unchanged
+            u1 = jnp.asarray(u1).at[0].set(U[0])
+            t1 = jnp.asarray(t1).at[0].set(ts[0])
+            h1 = jnp.asarray(h1).at[0].set(hs[0])
+            kacc = jnp.asarray(kacc).at[0].set(0)
+            att = jnp.asarray(att).at[0].set(8)
+            rej = jnp.asarray(rej).at[0].set(True)
+        return u1, t1, h1, kacc, att, rej
+
+    es._vchunk = fake
+    out = es.solve(jnp.asarray(U0))
+    assert not out.diverged.any()
+    assert out.k[0] == 6 and out.k[1] == 6
+    # engaged at probe 2 (streak 1), took 2 fallback accepts, then
+    # handed back to the chunk
+    assert not es._fbm[0] and not es._fbm[1]
+    assert es._fbprobe[0] == 2 and es._fbacc[0] == 2
+    # the 8 on-device attempts of the stuck dispatch count as failures
+    assert out.snes_failures[0] >= 8
