@@ -132,6 +132,122 @@ def _tile_rows(nx_loc, tile_x=128):
     return tx
 
 
+def make_slab_pipeline(*, nx_loc, tx, halo, ntiles, B, padded_src,
+                       nbuf=2):
+    """Shared double-buffered slab-DMA machinery of the fused kernels
+    (2D rows and folded-3D rows are shape-identical: (dof, x, lanes)).
+
+    The kernels fetch their x-slabs (tile rows + halo) from HBM with
+    manual async copies, DOUBLE-BUFFERED across grid tiles so the next
+    tile's DMA overlaps the current tile's compute (the serial
+    start/wait form measured ~2x slower at 1024^2: DMA + compute added
+    instead of overlapping).  Single-shard sources are read UNPADDED:
+    the periodic wrap rows are fetched directly with three mod-offset
+    chunks, killing the pad_x concatenate (a full HBM copy of every
+    state-sized input per call).  Sharded sources keep the
+    ppermute-padded layout (halo rows come from ring neighbors) and
+    copy one contiguous chunk per tile.
+
+    Returns (db_prologue, nchunks): db_prologue(inputs, b, i) starts /
+    waits the copies for flat tile (b, i) over ``inputs`` = list of
+    (ref, slab_scratch, sem_array) and returns the buffer index
+    holding the current tile.  Scratch shapes: slab (nbuf, dof,
+    tx + 2*halo, lanes); sem (nbuf, nchunks) DMA semaphores.
+
+    Alignment contract: nx_loc, tx, and halo must all be multiples of
+    8 (offsets are computed in 8-row units so Mosaic can prove
+    (8,128)-tile alignment of the HBM slices), and halo <= tx (the
+    unpadded wrap chunks must not straddle the periodic boundary).
+    """
+    assert nx_loc % 8 == 0 and tx % 8 == 0 and halo % 8 == 0
+    assert halo <= tx
+    nchunks = 1 if padded_src else 3
+    n_flat = (B or 1) * ntiles
+
+    def tile_copies(ref, slab, sem, fi, buf):
+        """Async-copy descriptors filling slab[buf] with flat tile
+        fi's x-slab from ref (identical descriptors must be
+        reconstructed to wait)."""
+        buf = jnp.int32(buf)
+        fi = jnp.int32(fi)
+        if B:
+            bb = jax.lax.div(fi, jnp.int32(ntiles))
+            ii = jax.lax.rem(fi, jnp.int32(ntiles))
+            src = lambda off, n: ref.at[bb, :, pl.ds(off, n), :]
+        else:
+            ii = fi
+            src = lambda off, n: ref.at[:, pl.ds(off, n), :]
+        if padded_src:
+            off = ii * jnp.int32(tx)
+            return [
+                pltpu.make_async_copy(
+                    src(off, tx + 2 * halo),
+                    slab.at[buf],
+                    sem.at[buf, jnp.int32(0)],
+                )
+            ]
+        # offsets computed in 8-row units then scaled so Mosaic can
+        # prove (8,128)-tile alignment of the HBM slices
+        nx8, tx8, h8 = nx_loc // 8, tx // 8, halo // 8
+        base8 = ii * jnp.int32(tx8)
+        lo = jax.lax.rem(
+            base8 - jnp.int32(h8) + jnp.int32(nx8), jnp.int32(nx8)
+        ) * jnp.int32(8)
+        hi = jax.lax.rem(
+            base8 + jnp.int32(tx8), jnp.int32(nx8)
+        ) * jnp.int32(8)
+        base = base8 * jnp.int32(8)
+        return [
+            pltpu.make_async_copy(
+                src(lo, halo),
+                slab.at[buf, :, pl.ds(0, halo), :],
+                sem.at[buf, jnp.int32(0)],
+            ),
+            pltpu.make_async_copy(
+                src(base, tx),
+                slab.at[buf, :, pl.ds(halo, tx), :],
+                sem.at[buf, jnp.int32(1)],
+            ),
+            pltpu.make_async_copy(
+                src(hi, halo),
+                slab.at[buf, :, pl.ds(halo + tx, halo), :],
+                sem.at[buf, jnp.int32(2)],
+            ),
+        ]
+
+    def db_prologue(inputs, b, i):
+        """inputs: list of (ref, slab, sem); (b, i) from program ids.
+        Starts the current flat tile's copies on the first iteration,
+        prefetches the next tile's into the other buffer, waits for
+        the current tile, and returns the buffer index holding it."""
+        fi = jnp.int32(i) if not B else (
+            jnp.int32(b) * jnp.int32(ntiles) + jnp.int32(i)
+        )
+        buf = jax.lax.rem(fi, jnp.int32(nbuf))
+
+        @pl.when(fi == jnp.int32(0))
+        def _():
+            for ref, slab, sem in inputs:
+                for cp in tile_copies(ref, slab, sem, fi, buf):
+                    cp.start()
+
+        nfi = fi + jnp.int32(1)
+
+        @pl.when(nfi < jnp.int32(n_flat))
+        def _():
+            nbuf_i = jax.lax.rem(nfi, jnp.int32(nbuf))
+            for ref, slab, sem in inputs:
+                for cp in tile_copies(ref, slab, sem, nfi, nbuf_i):
+                    cp.start()
+
+        for ref, slab, sem in inputs:
+            for cp in tile_copies(ref, slab, sem, fi, buf):
+                cp.wait()
+        return buf
+
+    return db_prologue, nchunks
+
+
 def _halo_rows(sw):
     """Halo rows rounded up to the 8-row DMA alignment unit."""
     return ((int(sw) + 7) // 8) * 8
@@ -340,103 +456,18 @@ def make_pallas_kernels(ops, tile_x=128, interpret=False, mesh=None,
         scv = lambda sc_ref, b, j: sc_ref[j]
         oix = lambda f: (f,)
 
-    # ---- slab DMA pipeline ----------------------------------------
-    # The kernels fetch their x-slabs (tile rows + halo) from HBM with
-    # manual async copies, DOUBLE-BUFFERED across grid tiles so the
-    # next tile's DMA overlaps the current tile's compute (the serial
-    # start/wait form measured ~2x slower at 1024^2: DMA + compute
-    # added instead of overlapping).  Single-shard sources are read
-    # UNPADDED: the periodic wrap rows are fetched directly with three
-    # mod-offset chunks, killing the pad_x concatenate (a full HBM
-    # copy of every state-sized input per call).  Sharded sources keep
-    # the ppermute-padded layout (halo rows come from ring neighbors)
-    # and copy one contiguous chunk per tile.
+    # ---- slab DMA pipeline (shared machinery, see factory) ---------
     NBUF = 2
     padded_src = n_shards > 1
-    nchunks = 1 if padded_src else 3
-    n_flat = (B or 1) * ntiles
-
-    def _tile_copies(ref, slab, sem, fi, buf):
-        """Async-copy descriptors filling slab[buf] with flat tile
-        fi's x-slab from ref (identical descriptors must be
-        reconstructed to wait)."""
-        buf = jnp.int32(buf)
-        fi = jnp.int32(fi)
-        if B:
-            bb = jax.lax.div(fi, jnp.int32(ntiles))
-            ii = jax.lax.rem(fi, jnp.int32(ntiles))
-            src = lambda off, n: ref.at[bb, :, pl.ds(off, n), :]
-        else:
-            ii = fi
-            src = lambda off, n: ref.at[:, pl.ds(off, n), :]
-        if padded_src:
-            off = ii * jnp.int32(tx)
-            return [
-                pltpu.make_async_copy(
-                    src(off, tx + 2 * halo),
-                    slab.at[buf],
-                    sem.at[buf, jnp.int32(0)],
-                )
-            ]
-        # offsets computed in 8-row units then scaled so Mosaic can
-        # prove (8,128)-tile alignment of the HBM slices
-        nx8, tx8, h8 = nx_loc // 8, tx // 8, halo // 8
-        base8 = ii * jnp.int32(tx8)
-        lo = jax.lax.rem(
-            base8 - jnp.int32(h8) + jnp.int32(nx8), jnp.int32(nx8)
-        ) * jnp.int32(8)
-        hi = jax.lax.rem(
-            base8 + jnp.int32(tx8), jnp.int32(nx8)
-        ) * jnp.int32(8)
-        base = base8 * jnp.int32(8)
-        return [
-            pltpu.make_async_copy(
-                src(lo, halo),
-                slab.at[buf, :, pl.ds(0, halo), :],
-                sem.at[buf, jnp.int32(0)],
-            ),
-            pltpu.make_async_copy(
-                src(base, tx),
-                slab.at[buf, :, pl.ds(halo, tx), :],
-                sem.at[buf, jnp.int32(1)],
-            ),
-            pltpu.make_async_copy(
-                src(hi, halo),
-                slab.at[buf, :, pl.ds(halo + tx, halo), :],
-                sem.at[buf, jnp.int32(2)],
-            ),
-        ]
+    _pipe, nchunks = make_slab_pipeline(
+        nx_loc=nx_loc, tx=tx, halo=halo, ntiles=ntiles, B=B,
+        padded_src=padded_src, nbuf=NBUF,
+    )
 
     def _db_prologue(inputs):
-        """inputs: list of (ref, slab, sem).  Starts the current flat
-        tile's copies on the first iteration, prefetches the next
-        tile's into the other buffer, waits for the current tile, and
-        returns the buffer index holding it."""
         b, i = pid()
-        fi = jnp.int32(i) if not B else (
-            jnp.int32(b) * jnp.int32(ntiles) + jnp.int32(i)
-        )
-        buf = jax.lax.rem(fi, jnp.int32(NBUF))
+        return _pipe(inputs, b, i)
 
-        @pl.when(fi == jnp.int32(0))
-        def _():
-            for ref, slab, sem in inputs:
-                for cp in _tile_copies(ref, slab, sem, fi, buf):
-                    cp.start()
-
-        nfi = fi + jnp.int32(1)
-
-        @pl.when(nfi < jnp.int32(n_flat))
-        def _():
-            nbuf = jax.lax.rem(nfi, jnp.int32(NBUF))
-            for ref, slab, sem in inputs:
-                for cp in _tile_copies(ref, slab, sem, nfi, nbuf):
-                    cp.start()
-
-        for ref, slab, sem in inputs:
-            for cp in _tile_copies(ref, slab, sem, fi, buf):
-                cp.wait()
-        return buf
     cs1x = deriv_coeffs(1, sw, ops.spacing[0])
     cs2x = deriv_coeffs(2, sw, ops.spacing[0])
     cs1y = deriv_coeffs(1, sw, ops.spacing[1])

@@ -12,9 +12,11 @@ dimension (ny*nz is a multiple of 128 for any grid >= 16x8), x rides
 sublanes exactly like the 2D kernels.  Derivatives on the folded
 layout:
 
-- x: static sublane slices of a DMA'd slab with halo rows (halo by
-  periodic self-wrap, or ppermute ring exchange when x-sharded) —
-  identical to the 2D kernel;
+- x: static sublane slices of a DMA'd slab with halo rows (fetched
+  by the shared double-buffered wrap-chunk pipeline of the 2D
+  kernels — tile i+1's HBM fetch overlaps tile i's compute; sharded
+  sources arrive ppermute-ring padded instead) — identical to the 2D
+  kernel;
 - y: a flat lane roll by j*nz IS the periodic y-shift (row-major
   (y, z) flattening wraps y exactly);
 - z: two lane rolls + a static iota-mask select: a flat roll by j is
@@ -41,26 +43,52 @@ from jax.experimental.pallas import tpu as pltpu
 from .stencil import deriv_coeffs
 from .pallas_stencil import (
     VMEM_LIMIT_BYTES,
+    _halo_rows,
     _interpret_forced,
+    make_slab_pipeline,
     member_batching_rules,
     pallas_mesh_ok,
 )
 
 __all__ = ["make_pallas_kernels_3d", "pallas3d_available"]
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB VMEM
+NBUF = 2  # double-buffered slab DMA (see make_slab_pipeline)
+
+# Scoped-VMEM budget the tile chooser fits the worst kernel (delta: 3
+# double-buffered input slabs) into, leaving margin under the 100 MiB
+# VMEM_LIMIT_BYTES for Mosaic's own scheduling slack.
+_VMEM_BUDGET = 80 * 1024 * 1024
+_N_TEMPS = 24  # stack-frame allowance: slab-sized kernel temporaries
+               # (G/dG fields, per-axis derivative accumulators); the
+               # 2D resid kernel measured ~28 temp-equivalents at its
+               # 16.39 MB frame (1024 lanes, 144-row slabs)
 
 
-def _vmem_estimate(dof, tx, ny, nz, n_slabs):
-    slab = dof * (tx + 8) * ny * nz * 4
-    out = dof * tx * ny * nz * 4
-    return n_slabs * slab + out
+def _vmem_estimate(dof, tx, L, n_inputs, halo=8):
+    slab_rows = tx + 2 * halo
+    slabs = n_inputs * dof * slab_rows * L * 4 * NBUF
+    out = dof * tx * L * 4
+    temps = _N_TEMPS * slab_rows * L * 4
+    return slabs + out + temps
+
+
+def _tile_rows3d(nx_loc, dof, L, tile_x=64, halo=8):
+    """The x-tile row count the 3D builder will pick: tile_x halved
+    until it divides nx_loc, then until the worst kernel fits the
+    VMEM budget; floored at the 8-row DMA alignment unit."""
+    tx = min(tile_x, max(8, nx_loc))
+    while nx_loc % tx:
+        tx //= 2
+    while tx > 8 and _vmem_estimate(dof, tx, L, 3, halo) > _VMEM_BUDGET:
+        tx //= 2
+    return tx
 
 
 def pallas3d_available(grid, ops=None):
     """3D fused kernels: TPU (or forced interpret), plain operators,
-    a 128-aligned folded cross-section, and VMEM feasibility at the
-    minimum tile."""
+    a 128-aligned folded cross-section, 8-row-aligned x extent (the
+    wrap-chunk DMA addresses rows in 8-row units), halo fitting the
+    tile, and VMEM feasibility at the minimum tile."""
     try:
         import jax
 
@@ -72,26 +100,36 @@ def pallas3d_available(grid, ops=None):
             return False
         nx, ny, nz = (int(n) for n in grid.nps)
         sw = 1 + grid.order // 2 if ops is None else ops.sw
-        if (ny * nz) % 128 or nz <= 2 * sw:
+        L = ny * nz
+        if L % 128 or nz <= 2 * sw:
             return False
-        if _vmem_estimate(grid.dof, 8, ny, nz, 3) > _VMEM_BUDGET:
+        if nx % 8:
+            return False
+        halo = _halo_rows(sw)
+        if halo > _tile_rows3d(nx, grid.dof, L, halo=halo):
+            return False
+        if _vmem_estimate(grid.dof, 8, L, 3, halo) > _VMEM_BUDGET:
             return False
         if _interpret_forced():
             return True
-        # Mosaic on real TPU: x tiles need 8-row alignment, the same
-        # constraint the 2D gate enforces (pallas_stencil.py) —
-        # misaligned grids take the XLA path instead of failing
-        # kernel compilation.
-        return nx % 8 == 0 and jax.devices()[0].platform == "tpu"
+        return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 
 
-def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
+def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
                            batch=0):
     """Build the fused 3D kernels.  Same contract as
     pallas_stencil.make_pallas_kernels (returns .rhs/.jvp/.delta),
-    including the member-batched build + custom_vmap rules (batch=)."""
+    including the member-batched build + custom_vmap rules (batch=).
+
+    Uses the shared double-buffered slab-DMA pipeline (tile i+1's HBM
+    fetch overlaps tile i's compute; single-shard sources read
+    UNPADDED via three mod-offset wrap chunks) — the 2D kernels'
+    design, which bought them ~1.4x (docs/PERF.md).  The default tile
+    is 64 rows (not the 2D 128): the folded lane extent L = ny*nz is
+    large, so the halo-amortization sweet spot sits at smaller tiles,
+    and _tile_rows3d shrinks further to fit the VMEM budget."""
     from types import SimpleNamespace
 
     grid = ops.grid
@@ -111,16 +149,25 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
         axis_x = mesh.axis_names[0]
         n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_x]
     nx_loc = nx // n_shards
+    if nx_loc % 8:
+        raise ValueError(
+            "3D pallas kernels require the per-shard row count to be "
+            "a multiple of 8; got nx=%d over %d shard(s)"
+            % (nx, n_shards)
+        )
     dof = ops.nligands + 1
     sw = ops.sw
-    tx = min(tile_x, nx_loc)
-    while nx_loc % tx:
-        tx //= 2
-    while _vmem_estimate(dof, tx, ny, nz, 3) > _VMEM_BUDGET and tx > 1:
-        tx //= 2
+    # x halo rows rounded up to the 8-row DMA alignment unit (the
+    # wrap-chunk offsets are computed in 8-row units, cf. 2D)
+    halo = _halo_rows(sw)
+    tx = _tile_rows3d(nx_loc, dof, L, tile_x=tile_x, halo=halo)
+    if halo > tx:
+        raise ValueError(
+            "3D pallas kernels need halo (%d) <= tile rows (%d); "
+            "pallas3d_available routes such grids to the XLA path"
+            % (halo, tx)
+        )
     ntiles = nx_loc // tx
-    # x halo rows rounded to keep tx + 2*halo 8-row aligned (cf. 2D)
-    halo = ((sw + 3) // 4) * 4
     # member batching (see pallas_stencil.py — same scheme)
     B = int(batch)
     if B and n_shards > 1:
@@ -129,17 +176,22 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
     if B:
         pid = lambda: (pl.program_id(0), pl.program_id(1))
         scv = lambda sc_ref, b, j: sc_ref[b, j]
-        slab_src = lambda ref, b, i: ref.at[
-            b, :, pl.ds(i * tx, tx + 2 * halo), :
-        ]
         oix = lambda f: (0, f)
     else:
         pid = lambda: (None, pl.program_id(0))
         scv = lambda sc_ref, b, j: sc_ref[j]
-        slab_src = lambda ref, b, i: ref.at[
-            :, pl.ds(i * tx, tx + 2 * halo), :
-        ]
         oix = lambda f: (f,)
+
+    # shared double-buffered slab-DMA machinery (pallas_stencil.py)
+    padded_src = n_shards > 1
+    _pipe, nchunks = make_slab_pipeline(
+        nx_loc=nx_loc, tx=tx, halo=halo, ntiles=ntiles, B=B,
+        padded_src=padded_src, nbuf=NBUF,
+    )
+
+    def _db_prologue(inputs):
+        b, i = pid()
+        return _pipe(inputs, b, i)
     cs1 = [deriv_coeffs(1, sw, ops.spacing[d]) for d in range(3)]
     cs2 = [deriv_coeffs(2, sw, ops.spacing[d]) for d in range(3)]
     rhomin = np.float32(ops.rhomin)
@@ -217,20 +269,15 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
         ]
         return [rho] + Us
 
-    def _copy_in(ref, scratch, sem, b, i):
-        cp = pltpu.make_async_copy(slab_src(ref, b, i), scratch, sem)
-        cp.start()
-        return cp
-
     # ------------------------------------------------------------------
     def rhs_kernel(sc_ref, u_ref, o_ref, slab, sem):
         # sc layout matches the 2D kernel: [t, means..., G_mean,
         # reaction balances...] (f64-computed outside; centering
         # removes the catastrophic f32 cancellation on O(1e4) fields)
         b, i = pid()
-        _copy_in(u_ref, slab, sem, b, i).wait()
+        buf = _db_prologue([(u_ref, slab, sem)])
         t = scv(sc_ref, b, 0)
-        fields = groom_slab(slab[:])
+        fields = groom_slab(slab[buf])
         rho, Us = fields[0], fields[1:]
         G = G_fn(rho, *Us, t)
         Gc = G - scv(sc_ref, b, 1 + dof)
@@ -246,8 +293,9 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
             )
 
     def _jvp_rows(t, slab, vslab):
-        """J-action rows on the tile interior (shared by jvp/resid)."""
-        fields = groom_slab(slab[:])
+        """J-action rows on the tile interior (shared by jvp/resid).
+        slab/vslab are VALUES (loaded slab buffers), not refs."""
+        fields = groom_slab(slab)
         rho, Us = fields[0], fields[1:]
         vrho = jnp.where(slab[0] > rhomin, vslab[0], 0.0)
         vUs = [
@@ -275,11 +323,8 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
 
     def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
         b, i = pid()
-        cp = _copy_in(u_ref, slab, sem, b, i)
-        cpv = _copy_in(v_ref, vslab, vsem, b, i)
-        cp.wait()
-        cpv.wait()
-        rows = _jvp_rows(scv(t_ref, b, 0), slab, vslab)
+        buf = _db_prologue([(u_ref, slab, sem), (v_ref, vslab, vsem)])
+        rows = _jvp_rows(scv(t_ref, b, 0), slab[buf], vslab[buf])
         for f in range(dof):
             o_ref[oix(f)] = rows[f]
 
@@ -289,14 +334,12 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
         # fused Richardson residual (see the 2D resid_kernel);
         # sc = [t, shift]; b is an auto-blocked VMEM tile
         b, i = pid()
-        cp = _copy_in(u_ref, slab, sem, b, i)
-        cpv = _copy_in(v_ref, vslab, vsem, b, i)
-        cp.wait()
-        cpv.wait()
+        buf = _db_prologue([(u_ref, slab, sem), (v_ref, vslab, vsem)])
         shift = scv(sc_ref, b, 1)
-        rows = _jvp_rows(scv(sc_ref, b, 0), slab, vslab)
+        vval = vslab[buf]
+        rows = _jvp_rows(scv(sc_ref, b, 0), slab[buf], vval)
         for f in range(dof):
-            v_c = vslab[f][ix, :]
+            v_c = vval[f][ix, :]
             o_ref[oix(f)] = b_ref[oix(f)] - shift * v_c + rows[f]
 
     def delta_kernel(
@@ -305,19 +348,16 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
     ):
         # see the 2D delta_kernel derivation (pallas_stencil.py)
         b, i = pid()
-        cps = [
-            _copy_in(u_ref, slab, sem, b, i),
-            _copy_in(d_ref, dslab, dsem, b, i),
-            _copy_in(s_ref, sslab, ssem, b, i),
-        ]
-        for cp in cps:
-            cp.wait()
+        buf = _db_prologue([
+            (u_ref, slab, sem), (d_ref, dslab, dsem), (s_ref, sslab, ssem),
+        ])
         t = scv(sc_ref, b, 0)
-        rho0 = slab[0]
-        Us0 = [slab[1 + l] for l in range(dof - 1)]
-        drho = dslab[0]
-        dUs = [dslab[1 + l] for l in range(dof - 1)]
-        f1 = [sslab[l] for l in range(dof)]
+        uval, dval, sval = slab[buf], dslab[buf], sslab[buf]
+        rho0 = uval[0]
+        Us0 = [uval[1 + l] for l in range(dof - 1)]
+        drho = dval[0]
+        dUs = [dval[1 + l] for l in range(dof - 1)]
+        f1 = [sval[l] for l in range(dof)]
         G0c = G_fn(rho0, *Us0, t) - scv(sc_ref, b, 2)
         dG = G_delta_fn(rho0, *Us0, drho, *dUs, *f1, t)
         Gs = G0c + dG
@@ -376,16 +416,20 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
             (dof, tx, L), lambda i, t: (i * 0, i, i * 0),
             memory_space=pltpu.VMEM,
         )
-    slab_t = pltpu.VMEM((dof, tx + 2 * halo, L), jnp.float32)
+    slab_t = pltpu.VMEM((NBUF, dof, tx + 2 * halo, L), jnp.float32)
+    sems_t = pltpu.SemaphoreType.DMA((NBUF, nchunks))
+    # sharded sources arrive ppermute-padded; single-shard/batched
+    # sources are read unpadded (wrap chunks), cf. the 2D builder
+    maybe_pad = pad_x if padded_src else (lambda u: u)
 
-    def grid_spec(n_in):
+    def grid_spec(n_in, extra_in=()):
         return pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=kgrid,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in
+            + list(extra_in),
             out_specs=out_spec,
-            scratch_shapes=[slab_t] * n_in
-            + [pltpu.SemaphoreType.DMA] * n_in,
+            scratch_shapes=[slab_t] * n_in + [sems_t] * n_in,
         )
 
     def _fold(u):
@@ -401,41 +445,32 @@ def make_pallas_kernels_3d(ops, tile_x=8, interpret=False, mesh=None,
         out = pl.pallas_call(
             rhs_kernel, out_shape=out_shape, grid_spec=grid_spec(1),
             interpret=interpret, compiler_params=_cparams,
-        )(sc, pad_x(_fold(u32)))
+        )(sc, maybe_pad(_fold(u32)))
         return _unfold(out)
 
     def jvp_local(tarr, u32, v32):
         out = pl.pallas_call(
             jvp_kernel, out_shape=out_shape, grid_spec=grid_spec(2),
             interpret=interpret, compiler_params=_cparams,
-        )(tarr, pad_x(_fold(u32)), pad_x(_fold(v32)))
+        )(tarr, maybe_pad(_fold(u32)), maybe_pad(_fold(v32)))
         return _unfold(out)
 
     def delta_local(sc, u32, d32, s32):
         out = pl.pallas_call(
             delta_kernel, out_shape=out_shape, grid_spec=grid_spec(3),
             interpret=interpret, compiler_params=_cparams,
-        )(sc, pad_x(_fold(u32)), pad_x(_fold(d32)), pad_x(_fold(s32)))
+        )(
+            sc, maybe_pad(_fold(u32)), maybe_pad(_fold(d32)),
+            maybe_pad(_fold(s32)),
+        )
         return _unfold(out)
-
-    grid_spec_resid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=kgrid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            out_spec,
-        ],
-        out_specs=out_spec,
-        scratch_shapes=[slab_t] * 2 + [pltpu.SemaphoreType.DMA] * 2,
-    )
 
     def resid_local(sc, u32, v32, b32):
         out = pl.pallas_call(
             resid_kernel, out_shape=out_shape,
-            grid_spec=grid_spec_resid, interpret=interpret,
-            compiler_params=_cparams,
-        )(sc, pad_x(_fold(u32)), pad_x(_fold(v32)), _fold(b32))
+            grid_spec=grid_spec(2, extra_in=[out_spec]),
+            interpret=interpret, compiler_params=_cparams,
+        )(sc, maybe_pad(_fold(u32)), maybe_pad(_fold(v32)), _fold(b32))
         return _unfold(out)
 
     rhs_sharded = shardwrap(rhs_local, 1)
