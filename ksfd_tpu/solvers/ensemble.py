@@ -119,14 +119,20 @@ class EnsembleSolver:
         self.block_steps = int(block_steps)
         # The vmapped step functions are built lazily in solve(): on
         # unsharded members the fused Pallas kernels batch through
-        # their jax.custom_batching rules (pallas_stencil), but with
-        # the MEMBER axis sharded over devices the pallas_call cannot
-        # be partitioned along its batch grid dimension, so sharded
-        # ensembles use the sharding-transparent XLA step instead.
+        # their jax.custom_batching rules (pallas_stencil).  A SHARDED
+        # member axis cannot partition the batched pallas_call grid
+        # dimension directly, so sharded ensembles wrap the vmapped
+        # step in jax.shard_map over the member mesh instead: each
+        # device runs the batched kernels on its local members with
+        # ZERO collectives (the trajectories are independent by
+        # construction — the compiled HLO is collective-free,
+        # tests/test_ensemble.py::test_sharded_members_keep_pallas).
         self._vstep = None
         self._vmulti = None
         self._vchunk = None
         self._vstep_flavor = None
+        self._member_mesh = None
+        self._member_axis = None
         self._vgroom = jax.jit(jax.vmap(self.ops.groom))
         self._vfallback = None
         self._vmax_fn = jax.jit(
@@ -183,40 +189,122 @@ class EnsembleSolver:
             )
         return np.maximum(h * hfac, n.dt_min)
 
-    def _build_steps(self, members_sharded):
-        """(Re)build the vmapped step functions for the input flavor."""
+    @staticmethod
+    def _extract_member_mesh(U):
+        """Classify the member placement of U for _build_steps.
+
+        Returns None (single device: batched kernels run directly),
+        a 1D Mesh (shard_members-style NamedSharding over the leading
+        member axis only: shard_map the batched step over it), or
+        False (multi-device but not a recoverable member-axis
+        NamedSharding: sharding-transparent XLA step)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = getattr(U, "sharding", None)
+        if sh is None or len(sh.device_set) <= 1:
+            return None
+        if not isinstance(sh, NamedSharding):
+            return False
+        mesh, spec = sh.mesh, sh.spec
+        if len(mesh.axis_names) != 1:
+            return False
+        axis = mesh.axis_names[0]
+        if len(spec) < 1 or spec[0] != axis:
+            return False
+        if any(s is not None for s in spec[1:]):
+            return False
+        if U.shape[0] % mesh.devices.size:
+            return False
+        return mesh
+
+    def _wrap_members(self, vfn, n_in, n_out):
+        """jit a member-batched device function, shard_mapped over the
+        member mesh when one is active.  Every input and output is
+        member-leading, so in/out specs are P(member_axis) throughout
+        and the body is collective-free (check_vma off: pallas_call
+        outputs carry no vma)."""
+        if self._member_mesh is None:
+            return jax.jit(vfn)
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(self._member_axis)
+        return jax.jit(
+            jax.shard_map(
+                vfn, mesh=self._member_mesh,
+                in_specs=(spec,) * n_in,
+                out_specs=(spec,) * n_out if n_out > 1 else spec,
+                check_vma=False,
+            )
+        )
+
+    def _build_steps(self, member_mesh):
+        """(Re)build the vmapped step functions for the input flavor.
+
+        member_mesh: None for single-device members; a 1D Mesh for
+        members sharded over devices (solve() extracts it from the
+        input sharding).  Sharded members run the SAME batched step —
+        fused Pallas kernels included — inside shard_map over that
+        mesh; only a sharding whose mesh cannot be recovered drops to
+        the XLA step (solve() passes member_mesh=False then)."""
         import dataclasses
 
-        # Both the 2D and 3D kernels carry custom_vmap batching rules;
-        # only a sharded-member ensemble must use the XLA step.
-        batchable = not members_sharded
-        flavor = "auto" if batchable else "xla"
+        if member_mesh is False:
+            flavor = "xla"
+            self._member_mesh = None
+            self._member_axis = None
+        elif member_mesh is not None:
+            flavor = "smap:%s" % id(member_mesh)
+            self._member_mesh = member_mesh
+            self._member_axis = member_mesh.axis_names[0]
+        else:
+            flavor = "auto"
+            self._member_mesh = None
+            self._member_axis = None
         if self._vstep_flavor == flavor:
             return
         nm = self.numerics
-        if not batchable:
+        if flavor == "xla":
             nm = dataclasses.replace(nm, use_pallas=False)
         self._nm_eff = nm
-        # unsharded members live on ONE device (just verified by the
-        # caller), so the unsharded batched kernels are safe even on a
-        # multi-device backend — opt out of make_step_fn's guard
+        # single-device members live on ONE device (verified by the
+        # caller) and shard_map bodies are single-device by
+        # construction, so the unsharded batched kernels are safe even
+        # on a multi-device backend — opt out of make_step_fn's guard
+        unsharded_ok = flavor != "xla"
         step, _ = make_step_fn(
             self.ops, nm, atol=self.atol, rtol=self.rtol,
-            unsharded_ok=batchable,
+            unsharded_ok=unsharded_ok,
         )
-        self._vstep = jax.jit(jax.vmap(step))
+        self._vstep = self._wrap_members(jax.vmap(step), 3, 2)
         self._vmulti = None
         if self.block_steps > 1 and nm.adapt_type == "none":
             from .solver import make_multistep_fn
 
             multi, _ = make_multistep_fn(
                 self.ops, nm, atol=self.atol, rtol=self.rtol,
-                unsharded_ok=batchable,
+                unsharded_ok=unsharded_ok,
             )
-            self._vmulti = jax.jit(
-                jax.vmap(multi, in_axes=(0, 0, 0, None)),
-                static_argnums=3,
-            )
+            if self._member_mesh is None:
+                self._vmulti = jax.jit(
+                    jax.vmap(multi, in_axes=(0, 0, 0, None)),
+                    static_argnums=3,
+                )
+            else:
+                from jax.sharding import PartitionSpec
+
+                spec = PartitionSpec(self._member_axis)
+                mesh = self._member_mesh
+
+                def _vmulti(U, ts, hs, nblk):
+                    body = jax.vmap(
+                        lambda u, t, h: multi(u, t, h, nblk)
+                    )
+                    return jax.shard_map(
+                        body, mesh=mesh, in_specs=(spec,) * 3,
+                        out_specs=(spec,) * 3, check_vma=False,
+                    )(U, ts, hs)
+
+                self._vmulti = jax.jit(_vmulti, static_argnums=3)
         # Device-fused adaptive chunk, vmapped over members: each
         # member walks its own accept/reject/h trajectory inside ONE
         # lax.while_loop execution (JAX's batched while_loop runs
@@ -236,9 +324,9 @@ class EnsembleSolver:
                 self.ops, nm, atol=self.atol, rtol=self.rtol,
                 max_attempts=128,
                 cfl_safety=chunk_cfl_safety(self.ps),
-                unsharded_ok=batchable,
+                unsharded_ok=unsharded_ok,
             )
-            self._vchunk = jax.jit(jax.vmap(chunk))
+            self._vchunk = self._wrap_members(jax.vmap(chunk), 5, 6)
         self._vfallback = None
         self._vstep_flavor = flavor
 
@@ -257,9 +345,9 @@ class EnsembleSolver:
             )
             fb, _ = make_step_fn(
                 self.ops, nm, atol=self.atol, rtol=self.rtol,
-                unsharded_ok=(self._vstep_flavor == "auto"),
+                unsharded_ok=(self._vstep_flavor != "xla"),
             )
-            self._vfallback = jax.jit(jax.vmap(fb))
+            self._vfallback = self._wrap_members(jax.vmap(fb), 3, 2)
         return self._vfallback
 
     # -- per-member physics helpers ---------------------------------
@@ -520,11 +608,7 @@ class EnsembleSolver:
         adapt = n.adapt_type != "none"
         U = jnp.asarray(U0)
         N = U.shape[0]
-        members_sharded = (
-            getattr(U, "sharding", None) is not None
-            and len(U.sharding.device_set) > 1
-        )
-        self._build_steps(members_sharded)
+        self._build_steps(self._extract_member_mesh(U))
         vrefresh = None
         if hasattr(self.ops, "refresh_G"):
             vrefresh = jax.jit(jax.vmap(self.ops.refresh_G))
