@@ -492,7 +492,7 @@ def test_ensemble_fallback_hysteresis(prob):
         return wstep, wfb
 
     es = EnsembleSolver(ops, nm, **kw)
-    es._build_steps(False)
+    es._build_steps(None)
     es._vstep, es._vfallback = force_pair(
         es._vstep, es._get_vfallback(), member=0
     )
@@ -531,7 +531,7 @@ def test_ensemble_chunk_fallback_hysteresis(prob):
     kw = dict(t0=0.0, dt=1.0, tmax=1e6, maxsteps=6, rtol=1e-6,
               atol=0.01)
     es = EnsembleSolver(ops, nm, **kw)
-    es._build_steps(False)
+    es._build_steps(None)
     real = es._vchunk
     state = {"first": True}
 
