@@ -1139,9 +1139,29 @@ class Solver:
             )
 
             mesh = sharding_mesh(u)  # None unless sharded > 1 device
+            # device count the state ACTUALLY spans: sharding_mesh
+            # only recovers NamedSharding meshes, so a positional/
+            # GSPMD sharding over >1 device must not be mistaken for
+            # single-device placement (unsharded kernels would then
+            # run on sharded state — the exact failure the multi-
+            # device guard exists to prevent)
+            n_placed = len(
+                getattr(
+                    getattr(u, "sharding", None), "device_set", (None,)
+                )
+            )
             rebuild = False
             unsharded_ok = False
-            if mesh is not None:
+            if mesh is None and n_placed > 1:
+                logTS(
+                    "state sharded over %d devices without a "
+                    "recoverable mesh: disabling the Pallas fast path"
+                    % n_placed
+                )
+                self.numerics = dataclasses.replace(n, use_pallas=False)
+                n = self.numerics
+                rebuild = True
+            elif mesh is not None:
                 if pallas_available(
                     self.ops.grid, self.ops
                 ) and pallas_mesh_ok(mesh, self.ops.grid):

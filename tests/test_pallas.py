@@ -411,6 +411,36 @@ def test_unsharded_pallas_guard_multidevice(ops2d, monkeypatch):
     assert BUILD_INFO["pallas_jvp"] and BUILD_INFO["pallas_delta"]
 
 
+def test_solver_unrecoverable_sharding_disables_pallas(
+    ops2d, monkeypatch
+):
+    """A state sharded over >1 device whose mesh sharding_mesh cannot
+    recover (not a NamedSharding) must drop the Solver to the
+    sharding-transparent XLA path — NEVER rebuild with unsharded_ok
+    (unsharded kernels on sharded state is the exact failure the
+    multi-device guard exists to prevent)."""
+    import ksfd_tpu.ops.pallas_stencil as pst
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.parallel import distribute, grid_mesh
+    from ksfd_tpu.solvers import Solver
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = ops2d
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    mesh = grid_mesh(grid, shape=(8, 1))
+    u_sh, _ = distribute(u0, grid, mesh=mesh)
+    # simulate a >1-device sharding with no recoverable mesh (JAX 0.9
+    # only builds NamedSharding, so stand in for the positional/GSPMD
+    # case by blinding sharding_mesh)
+    monkeypatch.setattr(pst, "sharding_mesh", lambda u: None)
+    s = Solver(ops, NumericsOptions(), t0=0.0, dt=1e-3, tmax=1e6,
+               maxsteps=1, atol=0.01, rtol=1e-6)
+    s.solve(u_sh)
+    assert not s.numerics.use_pallas
+    assert not s.build_info.get("pallas_jvp")
+    assert s.k == 1 and not s.diverged
+
+
 # ---------------------------------------------------------------------
 # stage-delta kernel: f(u0 + d) - f(u0) via cancellation-free forms
 # ---------------------------------------------------------------------
