@@ -313,7 +313,20 @@ def pallas_mesh_ok(mesh, grid):
     nx = int(grid.nps[0])
     if nx % n_x or (nx // n_x) % 8:
         return False
-    return _halo_rows(grid.stencil_width) <= _tile_rows(nx // n_x)
+    halo = _halo_rows(grid.stencil_width)
+    if grid.dim == 3:
+        # the 3D tile chooser shrinks further than the 2D one (VMEM
+        # budget over the folded lane extent), so the halo-fits-tile
+        # check must use it — otherwise a wide-stencil sharded 3D
+        # build would pass this gate and fail in make_pallas_kernels_3d
+        # instead of falling back to the XLA path
+        from .pallas_stencil3d import _tile_rows3d
+
+        ny, nz = (int(n) for n in grid.nps[1:])
+        return halo <= _tile_rows3d(
+            nx // n_x, grid.dof, ny * nz, halo=halo
+        )
+    return halo <= _tile_rows(nx // n_x)
 
 
 def sharding_mesh(u):

@@ -101,6 +101,27 @@ def test_pallas_halo_exceeds_tile_falls_back(monkeypatch):
     assert not pst.pallas_mesh_ok(mesh, small)
 
 
+def test_pallas_mesh_ok_3d_uses_3d_tile_chooser():
+    """The 3D tile chooser shrinks further than the 2D one (VMEM
+    budget over the folded lane extent), so pallas_mesh_ok must use
+    it for dim-3 grids: a wide-stencil sharded 3D config whose
+    per-shard tile collapses below the halo must fall back to the XLA
+    path HERE rather than raising inside make_pallas_kernels_3d."""
+    from ksfd_tpu.grid import Grid
+    from ksfd_tpu.ops import pallas_stencil as pst
+    from ksfd_tpu.parallel import grid_mesh
+
+    # order=17 -> sw=9 -> halo rounds to 16; 8 shards of nx=64 leave
+    # 8-row tiles (the chooser's floor) < halo
+    g = Grid(dim=3, nx=64, ny=16, nz=8, dof=3, order=17)
+    mesh = grid_mesh(g, shape=(8, 1, 1))
+    assert not pst.pallas_mesh_ok(mesh, g)
+    # same stencil with 32-row shards (tile 32 >= halo 16) stays ok
+    g2 = Grid(dim=3, nx=256, ny=16, nz=8, dof=3, order=17)
+    mesh2 = grid_mesh(g2, shape=(8, 1, 1))
+    assert pst.pallas_mesh_ok(mesh2, g2)
+
+
 def test_pallas_rhs_periodic_wrap(ops2d):
     """The x-halo padding must reproduce periodic wraparound exactly:
     translate the state by one tile; outputs translate too."""
