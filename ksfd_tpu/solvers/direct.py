@@ -1,0 +1,245 @@
+"""Exact direct stage solves at ANY dimension via sparse LU.
+
+Reference parity: the reference assembles its analytic Jacobian into a
+PETSc AIJ matrix and LU-factors it with MUMPS every step at any
+dimension and size (KSFD/ksfdsym.py:814-886; the options84 PETSc block
+``-ksp_type preonly -pc_type lu -pc_factor_mat_solver_type mumps``).
+The 1D counterpart here is the native cyclic banded LU
+(solvers/banded_path.py); this module is the >= 2D counterpart:
+
+1. The W-operator (shift*I - J) couples a column (g, p) only to rows
+   (f, q) with q within the AXIS CROSS of p of halfwidth 2*sw — the
+   RHS is a sum over axes of compositions of two axis-aligned
+   halfwidth-sw stencils (div_d(rho grad_d G), D lap_d U) around
+   pointwise nonlinearities, so no mixed-axis coupling exists
+   (ops/operators.py).  Its entries are therefore extracted EXACTLY
+   with colored jvp probes: one probe per (axis-phase, field) with a
+   per-axis phase stride >= 4*sw+1 guarantees no row couples to two
+   same-color columns (two columns < (4*sw+1) apart along one axis —
+   or differing along two axes by <= 2*sw each — can share a row;
+   stride-separated ones cannot).
+2. The probes run ON DEVICE (vmapped jvp = the fused J-action);
+   assembly and the SuperLU factorization run on host — the same
+   division of labor as the reference (device/worker ufuncs + MUMPS on
+   CPU) and as the 1D banded path.
+3. The assembled matrix is VERIFIED against the operator (two random
+   matvecs) before factoring, so a future operator with wider or
+   mixed-axis coupling fails loudly instead of silently mis-solving.
+
+Selected by numerics ``ksp_type='lu'``.  Complexity is the classic
+sparse-direct one (2D fill ~O(N^1.5)): exact and unconditionally
+robust on small/medium grids, while the spectral-preconditioned
+iterative stack remains the at-scale default (its role in the
+reference is played by MUMPS only because PETSc has no TPU).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.exceptions import KSFDException
+from .steppers import wlte_norm_delta
+
+__all__ = ["axis_strides", "extract_w_sparse", "make_sparse_step"]
+
+
+def axis_strides(nps, sw):
+    """Per-axis color strides: the smallest divisor of n_d that is
+    >= 4*sw+1 (cross-coupling halfwidth is 2*sw, see module doc); a
+    short axis falls back to stride n_d (every offset its own phase).
+    """
+    need = 4 * int(sw) + 1
+    strides = []
+    for n in nps:
+        n = int(n)
+        s = n
+        for cand in range(min(need, n), n + 1):
+            if n % cand == 0:
+                s = cand
+                break
+        strides.append(s)
+    return tuple(strides)
+
+
+def _cross_offsets(nps, sw):
+    """Axis-cross offsets of halfwidth 2*sw (center included once).
+
+    Offsets are reduced mod the axis extent and DEDUPLICATED: on a
+    short axis (n_d <= 4*sw) distinct stencil offsets alias to the
+    same periodic neighbor, and appending the same (row, col) twice
+    would double-count the entry in the COO sum."""
+    dim = len(nps)
+    offs = [tuple([0] * dim)]
+    for a in range(dim):
+        seen = {0}
+        for k in range(-2 * sw, 2 * sw + 1):
+            km = k % int(nps[a])
+            if km in seen:
+                continue
+            seen.add(km)
+            d = [0] * dim
+            d[a] = km
+            offs.append(tuple(d))
+    return offs
+
+
+def extract_w_sparse(w_op, nps, dof, sw, *, verify=True,
+                     max_chunk_bytes=1 << 28):
+    """Assemble the exact sparse matrix of a cross-coupled operator.
+
+    w_op: linear callable on (dof, *nps) arrays (e.g. the W-action
+    v -> shift*v - J v).  Returns a scipy CSC matrix over the
+    interleaved-dof ordering index(p, f) = lin(p)*dof + f (lin
+    row-major), matching banded_path's 1D layout.
+
+    Probes are evaluated on device in vmap chunks bounded by
+    max_chunk_bytes of probe+response storage; entries are scattered
+    per chunk so peak host memory stays bounded.
+    """
+    from scipy import sparse
+
+    nps = tuple(int(n) for n in nps)
+    dim = len(nps)
+    dof = int(dof)
+    sw = int(sw)
+    strides = axis_strides(nps, sw)
+    nphases = int(np.prod(strides))
+    N_pts = int(np.prod(nps))
+    N = N_pts * dof
+
+    # all phase tuples, row-major over the stride box
+    phase_grid = np.stack(
+        np.meshgrid(*[np.arange(s) for s in strides], indexing="ij"),
+        axis=-1,
+    ).reshape(nphases, dim)
+    offsets = _cross_offsets(nps, sw)
+
+    # coordinates of every grid point, per axis (for scatter)
+    coords = np.stack(
+        np.meshgrid(*[np.arange(n) for n in nps], indexing="ij"),
+        axis=-1,
+    ).reshape(N_pts, dim)
+    lin_strides = np.array(
+        [int(np.prod(nps[a + 1:])) for a in range(dim)], dtype=np.int64
+    )
+
+    probe_bytes = (1 + 1) * dof * N_pts * 8  # probe + response, f64
+    phases_per_chunk = max(1, int(max_chunk_bytes // (probe_bytes * dof)))
+
+    rows_acc, cols_acc, vals_acc = [], [], []
+    w_vmapped = jax.jit(jax.vmap(w_op))
+    for start in range(0, nphases, phases_per_chunk):
+        chunk = phase_grid[start:start + phases_per_chunk]
+        nc = len(chunk)
+        # probes: P[(c, g)] = ones at field g, points p ≡ phase_c (mod s)
+        P = np.zeros((nc * dof, dof) + nps)
+        for ci, ph in enumerate(chunk):
+            sel = tuple(
+                slice(int(ph[a]), None, strides[a]) for a in range(dim)
+            )
+            for g in range(dof):
+                P[(ci * dof + g, g) + sel] = 1.0
+        WP = np.asarray(w_vmapped(jnp.asarray(P)))
+        for ci, ph in enumerate(chunk):
+            # columns of this phase: points p ≡ ph (mod strides)
+            mask = np.all(coords % strides == ph, axis=1)
+            pcols = coords[mask]                       # (npc, dim)
+            lin_p = pcols @ lin_strides                # (npc,)
+            for delta in offsets:
+                q = (pcols + delta) % nps              # periodic rows
+                lin_q = q @ lin_strides
+                for g in range(dof):
+                    resp = WP[ci * dof + g]            # (dof, *nps)
+                    for f in range(dof):
+                        vals = resp[(f,) + tuple(q.T)]
+                        nz = vals != 0.0
+                        if not nz.any():
+                            continue
+                        rows_acc.append(lin_q[nz] * dof + f)
+                        cols_acc.append(lin_p[nz] * dof + g)
+                        vals_acc.append(vals[nz])
+    rows = np.concatenate(rows_acc) if rows_acc else np.zeros(0, int)
+    cols = np.concatenate(cols_acc) if cols_acc else np.zeros(0, int)
+    vals = np.concatenate(vals_acc) if vals_acc else np.zeros(0)
+    A = sparse.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsc()
+
+    if verify:
+        # two random matvecs: catches any coupling wider than the
+        # assumed axis cross (a future operator variant must fail
+        # loudly here, not solve wrong)
+        rng = np.random.default_rng(12345)
+        for _ in range(2):
+            v = rng.standard_normal((dof,) + nps)
+            want = np.asarray(w_op(jnp.asarray(v)))
+            vi = np.moveaxis(v, 0, -1).reshape(-1)
+            got = (A @ vi).reshape(nps + (dof,))
+            got = np.moveaxis(got, -1, 0)
+            scale = np.max(np.abs(want)) or 1.0
+            if np.max(np.abs(got - want)) > 1e-9 * scale:
+                raise KSFDException(
+                    "sparse W assembly does not reproduce the operator "
+                    "(max dev %.3e of %.3e): coupling exceeds the "
+                    "axis-cross support assumed by ksp_type=lu"
+                    % (float(np.max(np.abs(got - want))), float(scale))
+                )
+    return A
+
+
+def make_sparse_step(ops, tab, atol, rtol):
+    """Host-side implicit step using sparse LU — same contract as
+    make_step_fn's jitted step: (u, t, h) -> (u1, enorm).
+
+    Mirrors banded_path.make_banded_step (which stays the faster 1D
+    choice): the RHS/jvp evaluations run on device; assembly,
+    SuperLU factorization (once per step — shift and J are fixed
+    across the Rosenbrock stages), and the triangular solves run on
+    host.
+    """
+    from scipy.sparse.linalg import splu
+
+    grid = ops.grid
+    nps = tuple(int(n) for n in grid.nps)
+    dof = grid.dof
+    sw = grid.stencil_width
+    rhs_jit = jax.jit(ops.rhs)
+
+    def step(u, t, h):
+        u = np.asarray(ops.groom(jnp.asarray(u)))
+        t = float(t)
+        h = float(h)
+        shift = 1.0 / (h * tab.gamma)
+        uj = jnp.asarray(u)
+        _, f_jvp = jax.linearize(lambda uu: ops.rhs(uu, t), uj)
+        w_op = lambda v: shift * v - f_jvp(v)
+        A = extract_w_sparse(w_op, nps, dof, sw)
+        lu = splu(A)
+        Ys = []
+        for i in range(tab.stages):
+            Ui = u.copy()
+            for jj in range(i):
+                if tab.a[i][jj]:
+                    Ui = Ui + tab.a[i][jj] * Ys[jj]
+            bi = np.asarray(
+                rhs_jit(jnp.asarray(Ui), t + tab.alpha[i] * h)
+            )
+            for jj in range(i):
+                if tab.c[i][jj]:
+                    bi = bi + (tab.c[i][jj] / h) * Ys[jj]
+            # interleaved-dof ordering: index (p, f) = lin(p)*dof + f
+            yi = lu.solve(np.moveaxis(bi, 0, -1).reshape(-1))
+            Ys.append(
+                np.moveaxis(yi.reshape(nps + (dof,)), -1, 0).copy()
+            )
+        u1 = u.copy()
+        d = np.zeros_like(u)
+        for jj in range(tab.stages):
+            u1 = u1 + tab.m[jj] * Ys[jj]
+            dm = tab.m2[jj] - tab.m[jj]
+            if dm:
+                d = d + dm * Ys[jj]
+        enorm = float(
+            wlte_norm_delta(jnp.asarray(u1), jnp.asarray(d), atol, rtol)
+        )
+        return jnp.asarray(u1), enorm
+
+    return step

@@ -115,6 +115,14 @@ class EnsembleSolver:
             rng_key if rng_key is not None else jax.random.PRNGKey(0)
         )
         self.monitors = []
+        if self.numerics.ksp_type in ("banded", "lu"):
+            from ..utils.exceptions import KSFDException
+
+            raise KSFDException(
+                "ksp_type=%s is a host-side direct solve (scalar "
+                "Solver only); ensembles need a device stage solver"
+                % self.numerics.ksp_type
+            )
         self.tableau = get_tableau(self.numerics.ts_type)
         self.block_steps = int(block_steps)
         # The vmapped step functions are built lazily in solve(): on

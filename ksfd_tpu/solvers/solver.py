@@ -882,20 +882,31 @@ class Solver:
         self._fb_accepts = 0
         self._fb_probe = 64  # accepts between fast-path re-probes
         self._chunk_rej_streak = 0
-        if self.numerics.ksp_type == "banded":
-            from .banded_path import make_banded_step
-
+        if self.numerics.ksp_type in ("banded", "lu"):
+            # host-side exact direct solves (the reference's MUMPS
+            # role): native cyclic banded LU in 1D, colored-probe
+            # sparse SuperLU at any dimension (solvers/direct.py)
+            kt = self.numerics.ksp_type
             self.tableau = get_tableau(self.numerics.ts_type)
             if isinstance(self.tableau, DIRKTableau):
                 raise ValueError(
-                    "ksp_type=banded supports the Rosenbrock tableaus "
-                    "only; use -ts_type rosw (or a non-banded ksp_type "
-                    "with arkimex)"
+                    "ksp_type=%s supports the Rosenbrock tableaus "
+                    "only; use -ts_type rosw (or a non-direct ksp_type "
+                    "with arkimex)" % kt
                 )
-            self.step_fn = make_banded_step(
-                ops, self.tableau, atol=self.atol, rtol=self.rtol
-            )
-            self.build_info = dict(ksp_type="banded")
+            if kt == "banded":
+                from .banded_path import make_banded_step
+
+                self.step_fn = make_banded_step(
+                    ops, self.tableau, atol=self.atol, rtol=self.rtol
+                )
+            else:
+                from .direct import make_sparse_step
+
+                self.step_fn = make_sparse_step(
+                    ops, self.tableau, atol=self.atol, rtol=self.rtol
+                )
+            self.build_info = dict(ksp_type=kt)
         else:
             self.step_fn, self.tableau = make_step_fn(
                 ops, self.numerics, atol=self.atol, rtol=self.rtol
@@ -1128,7 +1139,7 @@ class Solver:
         # - state on ONE device of a multi-device backend: rebuild
         #   with unsharded_ok=True (the __init__ build skipped the
         #   kernels under the multi-device guard in make_step_fn).
-        if n.use_pallas and n.ksp_type != "banded":
+        if n.use_pallas and n.ksp_type not in ("banded", "lu"):
             import dataclasses
 
             from ..ops.pallas_stencil import (

@@ -134,6 +134,7 @@ class NumericsOptions:
                                   # TPU default) | gmres (fixed-iter) |
                                   # gmres_scipy (tol-based) |
                                   # dense/direct | banded (1D native)
+                                  # | lu (sparse SuperLU, any dim)
     ksp_max_it: int = 50
     ksp_rtol: float = 1e-8
     ksp_restart: int = 20
@@ -334,7 +335,7 @@ def decode_numerics(tokens, petsc_tokens=()):
             val, i = take_value(i)
             if val in (
                 "richardson", "gmres", "gmres_restarted", "gmres_rolled",
-                "gmres_scipy", "dense", "direct", "banded",
+                "gmres_scipy", "dense", "direct", "banded", "lu",
             ):
                 opts.ksp_type = val
             elif val == "preonly":

@@ -1,0 +1,161 @@
+"""Tests of the any-dimension sparse direct solve (ksp_type='lu').
+
+Reference parity: the reference LU-factors its assembled Jacobian with
+MUMPS at any dimension (KSFD/ksfdsym.py:814-886; options84
+'-ksp_type preonly -pc_type lu -pc_factor_mat_solver_type mumps');
+solvers/direct.py is the >= 2D counterpart of the 1D native banded
+path."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from helpers import make_clargs
+from ksfd_tpu import Grid, NumericsOptions, SolutionParameters
+from ksfd_tpu.ops import PDEOperators
+from ksfd_tpu.solvers import Solver, make_step_fn
+from ksfd_tpu.solvers.direct import (
+    axis_strides,
+    extract_w_sparse,
+    make_sparse_step,
+)
+
+PARAMS_2D = [
+    "dim=2", "nelements=24", "width=1", "height=1",
+    "degree=3", "rhomax=28000", "cushion=2000", "s2=2.78e-4",
+    "ngroups=1", "nligands_1=1", "alpha_1=1500", "beta_1=5.56e-4",
+    "s_1_1=0.01", "gamma_1_1=0.01", "D_1_1=1e-6",
+]
+
+PARAMS_3D = [
+    {"dim=2": "dim=3", "nelements=24": "nelements=8"}.get(p, p)
+    for p in PARAMS_2D
+] + ["depth=1"]
+
+
+def _problem2d(nx=24, ny=24):
+    ps = SolutionParameters(make_clargs(params=PARAMS_2D))
+    grid = Grid(dim=2, width=1, height=1, nx=nx, ny=ny, dof=2, order=3)
+    return ps, grid, PDEOperators(ps, grid)
+
+
+def _problem3d(nx=8):
+    ps = SolutionParameters(make_clargs(params=PARAMS_3D))
+    grid = Grid(dim=3, width=1, height=1, depth=1,
+                nx=nx, ny=nx, nz=nx, dof=2, order=3)
+    return ps, grid, PDEOperators(ps, grid)
+
+
+def _u0(grid, amp=50.0):
+    axes = [np.arange(n) / n for n in grid.nps]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    rho = 9000.0 + amp * np.sin(2 * np.pi * sum(mesh))
+    return np.stack([rho] * grid.dof)
+
+
+def test_axis_strides():
+    assert axis_strides((128, 128), 2) == (16, 16)   # >= 4*2+1
+    assert axis_strides((24, 36), 2) == (12, 9)
+    assert axis_strides((8, 8), 2) == (8, 8)         # short axis: n
+    assert axis_strides((125,), 1) == (5,)
+
+
+def _w_op_for(ops, u, t, shift):
+    _, f_jvp = jax.linearize(lambda uu: ops.rhs(uu, t), jnp.asarray(u))
+    return lambda v: shift * v - f_jvp(v)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_extract_w_sparse_solves_operator(dim):
+    """A @ (flattened v) reproduces w_op(v), and the LU solve inverts
+    it (the built-in verify also runs two matvec checks)."""
+    from scipy.sparse.linalg import splu
+
+    ps, grid, ops = _problem2d() if dim == 2 else _problem3d()
+    u = _u0(grid)
+    w_op = _w_op_for(ops, u, 0.0, shift=2.3)
+    A = extract_w_sparse(w_op, grid.nps, grid.dof, grid.stencil_width)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((grid.dof,) + tuple(grid.nps))
+    b = np.asarray(w_op(jnp.asarray(v)))
+    x = splu(A).solve(np.moveaxis(b, 0, -1).reshape(-1))
+    x = np.moveaxis(x.reshape(tuple(grid.nps) + (grid.dof,)), -1, 0)
+    np.testing.assert_allclose(x, v, rtol=1e-9, atol=1e-9)
+
+
+def test_extract_w_sparse_short_axis_aliasing():
+    """On an axis with n <= 4*sw the periodic cross offsets alias;
+    duplicated (row, col) candidates must not double-count entries
+    (COO sums duplicates)."""
+    ps, grid, ops = _problem2d(nx=24, ny=8)   # ny=8 == 4*sw, sw=2
+    u = _u0(grid)
+    w_op = _w_op_for(ops, u, 0.0, shift=1.7)
+    # verify=True raises KSFDException on any matvec mismatch
+    extract_w_sparse(w_op, grid.nps, grid.dof, grid.stencil_width)
+
+
+def test_sparse_step_matches_dense_step_2d():
+    ps, grid, ops = _problem2d(nx=16, ny=16)
+    dense_fn, tab = make_step_fn(
+        ops, NumericsOptions(ksp_type="dense"), atol=0.01, rtol=1e-6
+    )
+    sparse_fn = make_sparse_step(ops, tab, atol=0.01, rtol=1e-6)
+    u0 = jnp.asarray(_u0(grid))
+    t, h = 0.0, 0.5
+    u_d, e_d = dense_fn(u0, jnp.asarray(t), jnp.asarray(h))
+    u_s, e_s = sparse_fn(u0, t, h)
+    inc = float(jnp.max(jnp.abs(u_d - u0)))
+    assert inc > 0
+    np.testing.assert_allclose(
+        np.asarray(u_s), np.asarray(u_d), atol=1e-8 * max(inc, 1.0)
+    )
+    assert abs(float(e_s) - float(e_d)) < 1e-6 * max(float(e_d), 1.0)
+
+
+def test_solver_lu_adaptive_2d():
+    """The Solver runs the lu path end-to-end: several accepted
+    adaptive steps, zero failures, finite growing state."""
+    ps, grid, ops = _problem2d(nx=16, ny=16)
+    s = Solver(ops, NumericsOptions(ksp_type="lu"), t0=0.0, dt=1.0,
+               tmax=20.0, maxsteps=20, rtol=1e-6, atol=0.01)
+    u = np.asarray(s.solve(jnp.asarray(_u0(grid))))
+    assert s.t > 20.0 and s.snes_failures == 0
+    assert s.build_info == {"ksp_type": "lu"}
+    assert np.isfinite(u).all()
+
+
+def test_solver_lu_matches_richardson_3d():
+    """One adaptive lu step agrees with the iterative default at the
+    mixed-precision envelope on a 3D problem."""
+    ps, grid, ops = _problem3d()
+    u0 = jnp.asarray(_u0(grid))
+    args = dict(t0=0.0, dt=0.5, tmax=0.5, maxsteps=1, rtol=1e-6,
+                atol=0.01)
+    s_lu = Solver(ops, NumericsOptions(ksp_type="lu"), **args)
+    u_lu = np.asarray(s_lu.solve(u0))
+    s_it = Solver(ops, NumericsOptions(ksp_iters=16), **args)
+    u_it = np.asarray(s_it.solve(u0))
+    inc = np.max(np.abs(u_lu - np.asarray(u0)))
+    assert inc > 0
+    assert np.max(np.abs(u_lu - u_it)) < 1e-4 * inc
+
+
+def test_cli_accepts_ksp_lu():
+    from ksfd_tpu.utils.cli import decode_numerics
+
+    opts = decode_numerics(["-ksp_type", "lu"])
+    assert opts.ksp_type == "lu"
+
+
+def test_ensemble_rejects_host_direct():
+    from ksfd_tpu.solvers import EnsembleSolver
+    from ksfd_tpu.utils.exceptions import KSFDException
+
+    ps, grid, ops = _problem2d(nx=16, ny=16)
+    for kt in ("lu", "banded"):
+        with pytest.raises(KSFDException):
+            EnsembleSolver(
+                ops, NumericsOptions(ksp_type=kt), t0=0.0, dt=1.0,
+                tmax=10.0, maxsteps=5,
+            )
