@@ -878,6 +878,7 @@ class Solver:
         self._chunk = None
         self._mesh = None
         self._fallback_fn = None
+        self._lu_step = None
         self._fb_mode = False
         self._fb_accepts = 0
         self._fb_probe = 64  # accepts between fast-path re-probes
@@ -1096,6 +1097,36 @@ class Solver:
                 mesh=self._mesh,
             )
         return self._fallback_fn
+
+    # exact-direct escalation: consecutive failures before the host
+    # loop tries a sparse-LU step, and the largest problem it will
+    # factor (SuperLU at ~2e5 dofs is seconds; the reference's MUMPS
+    # tier has no size cap only because PETSc distributes the factor)
+    LU_RESCUE_AFTER = 8
+    LU_RESCUE_MAX_DOFS = 200_000
+
+    def _get_exact_step(self):
+        """Last-resort EXACT direct step (the reference's MUMPS role):
+        engaged by the host loop after LU_RESCUE_AFTER consecutive
+        failures, when the iterative tiers themselves — not the step
+        size — are the plausible problem.  An exact stage solve can
+        still be rejected by the embedded error estimate; then h is
+        genuinely too large and the controller shrinks it knowing the
+        solver was not at fault.  None when ineligible (already a
+        direct ksp_type, DIRK tableau, or too many dofs to factor)."""
+        if self.numerics.ksp_type in ("banded", "lu", "dense", "direct"):
+            return None
+        if isinstance(self.tableau, DIRKTableau):
+            return None
+        if self.ops.grid.n_dofs > self.LU_RESCUE_MAX_DOFS:
+            return None
+        if self._lu_step is None:
+            from .direct import make_sparse_step
+
+            self._lu_step = make_sparse_step(
+                self.ops, self.tableau, atol=self.atol, rtol=self.rtol
+            )
+        return self._lu_step
 
     # -- adaptive control ------------------------------------------------
     def _new_h_accept(self, h, enorm):
@@ -1375,6 +1406,26 @@ class Solver:
                     self._fb_accepts = 0
                     self._fb_probe = 64
                     logTS("fallback solver engaged at h", h)
+            if (
+                rejected
+                and nblk == 1
+                and consecutive_failures + 1 >= self.LU_RESCUE_AFTER
+            ):
+                # the iterative tiers (fast + robust retry) have now
+                # failed LU_RESCUE_AFTER times in a row: escalate to
+                # the EXACT sparse-LU step at the same h before
+                # shrinking further — the reference never fails a
+                # stage solve (MUMPS), and below the factorization cap
+                # neither do we
+                exact = self._get_exact_step()
+                if exact is not None:
+                    u1x, enormx = exact(u, t, h)
+                    enormx = float(enormx)
+                    if np.isfinite(enormx) and (not adapt or enormx <= 1.0):
+                        u1, enorm, finite, rejected = (
+                            u1x, enormx, True, False,
+                        )
+                        logTS("exact LU rescue accepted at h", h)
             if rejected:
                 self.snes_failures += 1
                 consecutive_failures += 1

@@ -342,7 +342,10 @@ def decode_numerics(tokens, petsc_tokens=()):
                 # PETSc 'preonly + pc_type lu' == a direct solve; our
                 # default iterative stack plays that role at scale, so
                 # keep the default but note the translation.
-                opts.unrecognized.append("ksp_type preonly (kept default)")
+                opts.unrecognized.append(
+                    "ksp_type preonly (kept default; exact direct "
+                    "solves: -ksp_type lu any-dim, banded 1D)"
+                )
             else:
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
         elif key == "pc_type":

@@ -141,6 +141,37 @@ def test_solver_lu_matches_richardson_3d():
     assert np.max(np.abs(u_lu - u_it)) < 1e-4 * inc
 
 
+def test_lu_rescue_engages_after_consecutive_failures():
+    """When the iterative step AND the robust retry keep failing, the
+    host loop escalates to the exact sparse-LU step at the same h
+    instead of marching to diverged (the reference's MUMPS never fails
+    a stage solve; below the factorization cap neither do we)."""
+    ps, grid, ops = _problem2d(nx=16, ny=16)
+    s = Solver(ops, NumericsOptions(), t0=0.0, dt=0.5, tmax=100.0,
+               maxsteps=3, rtol=1e-6, atol=0.01)
+    # sabotage every iterative tier: the fast step and the robust
+    # fallback both return non-finite error estimates
+    broken = lambda u, t, h: (u, jnp.asarray(np.nan))
+    s.step_fn = broken
+    s._fallback_fn = broken
+    u = np.asarray(s.solve(jnp.asarray(_u0(grid))))
+    assert s.k == 3 and not s.diverged
+    assert np.isfinite(u).all()
+    # each accepted step burned LU_RESCUE_AFTER-1 rejections first
+    assert s.snes_failures >= 3 * (Solver.LU_RESCUE_AFTER - 1)
+    assert s._lu_step is not None
+
+
+def test_lu_rescue_respects_dof_cap(monkeypatch):
+    ps, grid, ops = _problem2d(nx=16, ny=16)
+    s = Solver(ops, NumericsOptions(), t0=0.0, dt=0.5, tmax=100.0,
+               maxsteps=1, rtol=1e-6, atol=0.01)
+    monkeypatch.setattr(Solver, "LU_RESCUE_MAX_DOFS", 10)
+    assert s._get_exact_step() is None
+    monkeypatch.undo()
+    assert s._get_exact_step() is not None
+
+
 def test_cli_accepts_ksp_lu():
     from ksfd_tpu.utils.cli import decode_numerics
 

@@ -48,7 +48,7 @@ def main(argv=None):
     cases = []
     for ts in ("rosw", "arkimex", "ark436", "beuler"):
         for ksp in ("richardson", "gmres", "gmres_scipy", "gmres_rolled",
-                    "gmres_restarted", "dense", "banded"):
+                    "gmres_restarted", "dense", "banded", "lu"):
             cases.append(dict(ts_type=ts, ksp_type=ksp))
     if not args.quick:
         for ksp in ("richardson", "gmres_rolled", "gmres"):
@@ -74,6 +74,8 @@ def main(argv=None):
     expected_reject = [
         dict(ts_type="arkimex", ksp_type="banded"),
         dict(ts_type="ark436", ksp_type="banded"),
+        dict(ts_type="arkimex", ksp_type="lu"),
+        dict(ts_type="ark436", ksp_type="lu"),
     ]
 
     fails = []
