@@ -84,13 +84,17 @@ def _cross_offsets(nps, sw):
 
 
 def extract_w_sparse(w_op, nps, dof, sw, *, verify=True,
-                     max_chunk_bytes=1 << 28):
+                     max_chunk_bytes=1 << 28, w_batch=None):
     """Assemble the exact sparse matrix of a cross-coupled operator.
 
     w_op: linear callable on (dof, *nps) arrays (e.g. the W-action
     v -> shift*v - J v).  Returns a scipy CSC matrix over the
     interleaved-dof ordering index(p, f) = lin(p)*dof + f (lin
     row-major), matching banded_path's 1D layout.
+
+    w_batch: optional batched evaluator P -> stacked w_op responses;
+    pass a PRE-JITTED one when extracting repeatedly (make_sparse_step
+    does) so the vmapped probe evaluation is not retraced per call.
 
     Probes are evaluated on device in vmap chunks bounded by
     max_chunk_bytes of probe+response storage; entries are scattered
@@ -127,7 +131,8 @@ def extract_w_sparse(w_op, nps, dof, sw, *, verify=True,
     phases_per_chunk = max(1, int(max_chunk_bytes // (probe_bytes * dof)))
 
     rows_acc, cols_acc, vals_acc = [], [], []
-    w_vmapped = jax.jit(jax.vmap(w_op))
+    w_vmapped = w_batch if w_batch is not None else jax.jit(jax.vmap(w_op))
+    out_dtype = None
     for start in range(0, nphases, phases_per_chunk):
         chunk = phase_grid[start:start + phases_per_chunk]
         nc = len(chunk)
@@ -140,6 +145,7 @@ def extract_w_sparse(w_op, nps, dof, sw, *, verify=True,
             for g in range(dof):
                 P[(ci * dof + g, g) + sel] = 1.0
         WP = np.asarray(w_vmapped(jnp.asarray(P)))
+        out_dtype = WP.dtype
         for ci, ph in enumerate(chunk):
             # columns of this phase: points p ≡ ph (mod strides)
             mask = np.all(coords % strides == ph, axis=1)
@@ -166,7 +172,11 @@ def extract_w_sparse(w_op, nps, dof, sw, *, verify=True,
     if verify:
         # two random matvecs: catches any coupling wider than the
         # assumed axis cross (a future operator variant must fail
-        # loudly here, not solve wrong)
+        # loudly here, not solve wrong).  The gate scales with the
+        # OPERATOR's dtype: f32 probe responses carry ~1e-7-relative
+        # rounding (KSFD_TPU_X64=0 mode), while a genuine support
+        # violation shows up at the size of the missing entries.
+        tol = 1e-9 if np.dtype(out_dtype).itemsize >= 8 else 1e-4
         rng = np.random.default_rng(12345)
         for _ in range(2):
             v = rng.standard_normal((dof,) + nps)
@@ -175,7 +185,7 @@ def extract_w_sparse(w_op, nps, dof, sw, *, verify=True,
             got = (A @ vi).reshape(nps + (dof,))
             got = np.moveaxis(got, -1, 0)
             scale = np.max(np.abs(want)) or 1.0
-            if np.max(np.abs(got - want)) > 1e-9 * scale:
+            if np.max(np.abs(got - want)) > tol * scale:
                 raise KSFDException(
                     "sparse W assembly does not reproduce the operator "
                     "(max dev %.3e of %.3e): coupling exceeds the "
@@ -203,15 +213,27 @@ def make_sparse_step(ops, tab, atol, rtol):
     sw = grid.stencil_width
     rhs_jit = jax.jit(ops.rhs)
 
+    # ONE jitted probe evaluator for the life of the step function:
+    # (u, t, shift) are traced arguments, so repeated steps (and the
+    # automatic LU rescue firing many times in a stiff stretch) reuse
+    # the compiled executable instead of retracing a fresh closure
+    # per call (at most two compiles: full chunk + remainder chunk).
+    @jax.jit
+    def _w_batch(u, t, shift, P):
+        _, f_jvp = jax.linearize(lambda uu: ops.rhs(uu, t), u)
+        return jax.vmap(lambda p: shift * p - f_jvp(p))(P)
+
     def step(u, t, h):
         u = np.asarray(ops.groom(jnp.asarray(u)))
         t = float(t)
         h = float(h)
         shift = 1.0 / (h * tab.gamma)
         uj = jnp.asarray(u)
-        _, f_jvp = jax.linearize(lambda uu: ops.rhs(uu, t), uj)
-        w_op = lambda v: shift * v - f_jvp(v)
-        A = extract_w_sparse(w_op, nps, dof, sw)
+        tj = jnp.asarray(t)
+        sj = jnp.asarray(shift)
+        w_op = lambda v: _w_batch(uj, tj, sj, jnp.asarray(v)[None])[0]
+        w_batch = lambda P: _w_batch(uj, tj, sj, P)
+        A = extract_w_sparse(w_op, nps, dof, sw, w_batch=w_batch)
         lu = splu(A)
         Ys = []
         for i in range(tab.stages):

@@ -879,6 +879,10 @@ class Solver:
         self._mesh = None
         self._fallback_fn = None
         self._lu_step = None
+        self._lu_errors = 0
+        self._lu_mode = False
+        self._lu_accepts = 0
+        self._lu_probe = 4  # LU steps are seconds-expensive: short park
         self._fb_mode = False
         self._fb_accepts = 0
         self._fb_probe = 64  # accepts between fast-path re-probes
@@ -1113,12 +1117,22 @@ class Solver:
         still be rejected by the embedded error estimate; then h is
         genuinely too large and the controller shrinks it knowing the
         solver was not at fault.  None when ineligible (already a
-        direct ksp_type, DIRK tableau, or too many dofs to factor)."""
+        direct ksp_type, DIRK tableau, too many dofs to factor,
+        multi-process state the host cannot gather, or the tier
+        errored out earlier this run)."""
         if self.numerics.ksp_type in ("banded", "lu", "dense", "direct"):
             return None
         if isinstance(self.tableau, DIRKTableau):
             return None
         if self.ops.grid.n_dofs > self.LU_RESCUE_MAX_DOFS:
+            return None
+        if jax.process_count() > 1:
+            # the host-side assembly gathers the global state, which a
+            # multi-process array does not allow (non-addressable
+            # shards); the per-process iterative tiers stay the only
+            # retries there
+            return None
+        if self._lu_errors >= 2:
             return None
         if self._lu_step is None:
             from .direct import make_sparse_step
@@ -1127,6 +1141,29 @@ class Solver:
                 self.ops, self.tableau, atol=self.atol, rtol=self.rtol
             )
         return self._lu_step
+
+    def _try_exact(self, u, t, h):
+        """One exact-LU step, exception-guarded: assembly/verify/
+        factorization failures must degrade to the ordinary
+        reject-and-shrink-h path, never crash the run.  Two errors
+        disable the tier for the rest of the run (_get_exact_step).
+        Returns (u1, enorm) or None."""
+        exact = self._get_exact_step()
+        if exact is None:
+            return None
+        try:
+            u1, enorm = exact(u, t, h)
+            return u1, float(enorm)
+        except Exception as exc:
+            self._lu_errors += 1
+            logTS(
+                "exact LU step failed (%s): %s" % (
+                    type(exc).__name__,
+                    "tier disabled for this run"
+                    if self._lu_errors >= 2 else "will retry once",
+                )
+            )
+            return None
 
     # -- adaptive control ------------------------------------------------
     def _new_h_accept(self, h, enorm):
@@ -1275,6 +1312,10 @@ class Solver:
         self._fb_accepts = 0
         self._fb_probe = 64
         self._chunk_rej_streak = 0
+        self._lu_mode = False
+        self._lu_accepts = 0
+        self._lu_probe = 4
+        self._lu_errors = 0
         k, t, h = self.k, self.t, self.h
         u = self.ops.groom(u)
         if hasattr(self.ops, "refresh_G"):
@@ -1309,6 +1350,7 @@ class Solver:
             if (
                 self._chunk is not None
                 and not self._fb_mode
+                and not self._lu_mode
                 and t <= tmax_eff
             ):
                 u1, tnew, hnew, kacc, attempts, rej = self._chunk(
@@ -1363,6 +1405,23 @@ class Solver:
                         if consecutive_failures > n.max_snes_failures:
                             self.diverged = True
                             break
+                        if (
+                            consecutive_failures >= self.LU_RESCUE_AFTER
+                            and self._get_exact_step() is not None
+                        ):
+                            # enough consecutive chunk failures: route
+                            # ONE attempt through the host exact-LU
+                            # step at the SAME h (the automatic MUMPS-
+                            # role escalation; without this, non-
+                            # richardson device-loop runs could march
+                            # to diverged with the exact tier never
+                            # tried)
+                            self._lu_mode = True
+                            self._lu_accepts = 0
+                            self._lu_probe = 1
+                            logTS("chunk rejected; exact LU retry at h",
+                                  h)
+                            continue
                         h = self._new_h_reject(h, np.nan, False)
                         logTS("chunk rejected; no fallback, h ->", h)
                         continue
@@ -1379,6 +1438,15 @@ class Solver:
             if self._multi is not None:
                 nblk = max(1, min(self.block_steps, self.maxsteps - k))
                 u1, tnew, enorm = self._multi(u, t, h, nblk)
+            elif self._lu_mode:
+                res = self._try_exact(u, t, h)
+                if res is None:
+                    # tier just got disabled mid-park: fall back to
+                    # the ordinary host step this iteration
+                    self._lu_mode = False
+                    u1, enorm = self.step_fn(u, t, h)
+                else:
+                    u1, enorm = res
             elif self._fb_mode:
                 u1, enorm = self._get_fallback()(u, t, h)
             else:
@@ -1409,6 +1477,7 @@ class Solver:
             if (
                 rejected
                 and nblk == 1
+                and not self._lu_mode
                 and consecutive_failures + 1 >= self.LU_RESCUE_AFTER
             ):
                 # the iterative tiers (fast + robust retry) have now
@@ -1417,14 +1486,21 @@ class Solver:
                 # shrinking further — the reference never fails a
                 # stage solve (MUMPS), and below the factorization cap
                 # neither do we
-                exact = self._get_exact_step()
-                if exact is not None:
-                    u1x, enormx = exact(u, t, h)
-                    enormx = float(enormx)
+                res = self._try_exact(u, t, h)
+                if res is not None:
+                    u1x, enormx = res
                     if np.isfinite(enormx) and (not adapt or enormx <= 1.0):
                         u1, enorm, finite, rejected = (
                             u1x, enormx, True, False,
                         )
+                        # park on the exact tier briefly (it is
+                        # seconds-expensive, so the probe is short)
+                        # instead of re-burning LU_RESCUE_AFTER failed
+                        # iterative attempts per accepted step
+                        self._lu_mode = True
+                        self._lu_accepts = 0
+                        self._lu_probe = 4
+                        self._fb_mode = False
                         logTS("exact LU rescue accepted at h", h)
             if rejected:
                 self.snes_failures += 1
@@ -1446,9 +1522,17 @@ class Solver:
                     # one-shot chunk-rejection retry failed too: shrink
                     # and hand the smaller h back to the fused loop
                     self._fb_mode = False
+                if self._lu_mode and self._lu_probe == 1:
+                    # one-shot exact retry rejected: h was genuinely
+                    # too large — hand the smaller h back to the chunk
+                    self._lu_mode = False
                 continue
             consecutive_failures = 0
-            if self._fb_mode:
+            if self._lu_mode:
+                self._lu_accepts += 1
+                if self._lu_accepts >= self._lu_probe:
+                    self._lu_mode = False  # probe the iterative path
+            elif self._fb_mode:
                 self._fb_accepts += 1
                 if self._fb_accepts % self._fb_probe == 0:
                     self._fb_mode = False  # probe the fast path again

@@ -157,19 +157,75 @@ def test_lu_rescue_engages_after_consecutive_failures():
     u = np.asarray(s.solve(jnp.asarray(_u0(grid))))
     assert s.k == 3 and not s.diverged
     assert np.isfinite(u).all()
-    # each accepted step burned LU_RESCUE_AFTER-1 rejections first
-    assert s.snes_failures >= 3 * (Solver.LU_RESCUE_AFTER - 1)
+    # the FIRST accept burned LU_RESCUE_AFTER-1 rejections; the
+    # controller then PARKS on the exact tier (hysteresis), so later
+    # steps must NOT re-burn a full failure storm each
+    assert s.snes_failures >= Solver.LU_RESCUE_AFTER - 1
+    assert s.snes_failures < 3 * (Solver.LU_RESCUE_AFTER - 1)
     assert s._lu_step is not None
 
 
-def test_lu_rescue_respects_dof_cap(monkeypatch):
+def test_lu_rescue_respects_dof_cap_and_process_count(monkeypatch):
     ps, grid, ops = _problem2d(nx=16, ny=16)
     s = Solver(ops, NumericsOptions(), t0=0.0, dt=0.5, tmax=100.0,
                maxsteps=1, rtol=1e-6, atol=0.01)
     monkeypatch.setattr(Solver, "LU_RESCUE_MAX_DOFS", 10)
     assert s._get_exact_step() is None
     monkeypatch.undo()
+    # a multi-process run cannot gather the global state on host
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert s._get_exact_step() is None
+    monkeypatch.undo()
     assert s._get_exact_step() is not None
+
+
+def test_lu_rescue_reachable_from_device_chunk_without_fallback():
+    """-device_loop 1 with a non-richardson ksp_type has NO robust
+    GMRES fallback; persistent chunk rejections must still escalate
+    to the exact-LU tier (one-shot host retry at the same h) instead
+    of marching to diverged with the exact tier never tried."""
+    ps, grid, ops = _problem2d(nx=16, ny=16)
+    s = Solver(ops, NumericsOptions(device_loop=True, ksp_type="gmres"),
+               t0=0.0, dt=0.5, tmax=100.0, maxsteps=2, rtol=1e-6,
+               atol=0.01)
+    assert s._chunk is not None and s._get_fallback() is None
+    chunk_calls = []
+
+    def stuck_chunk(u, t, h, tmax_eff, maxacc):
+        chunk_calls.append(float(h))
+        return u, t, h, 0, 1, True   # zero accepts, rejected
+
+    s._chunk = stuck_chunk
+    u = np.asarray(s.solve(jnp.asarray(_u0(grid))))
+    assert s.k == 2 and not s.diverged
+    assert np.isfinite(u).all()
+    # each accepted step came from the exact tier after
+    # LU_RESCUE_AFTER stuck chunk dispatches at the SAME h
+    assert len(chunk_calls) == 2 * Solver.LU_RESCUE_AFTER
+    assert s._lu_step is not None
+
+
+def test_lu_rescue_exception_degrades_not_crashes():
+    """An exception inside the exact step (assembly verify failure,
+    singular factorization...) must degrade to the ordinary
+    reject-and-shrink path and disable the tier after two errors —
+    never crash the run."""
+    ps, grid, ops = _problem2d(nx=16, ny=16)
+    s = Solver(ops, NumericsOptions(), t0=0.0, dt=0.5, tmax=100.0,
+               maxsteps=3, rtol=1e-6, atol=0.01, hmin=1e-6)
+    broken = lambda u, t, h: (u, jnp.asarray(np.nan))
+    s.step_fn = broken
+    s._fallback_fn = broken
+
+    def boom(u, t, h):
+        raise RuntimeError("Factor is exactly singular")
+
+    s._lu_step = boom
+    s.solve(jnp.asarray(_u0(grid)))   # must not raise
+    assert s._lu_errors >= 2
+    assert s.k == 0                   # nothing ever stepped
+    # the run ended by h-underflow or the failure cap, not a crash
+    assert s.h < 1e-5 or s.diverged
 
 
 def test_cli_accepts_ksp_lu():
