@@ -73,15 +73,24 @@ def _vmem_estimate(dof, tx, L, n_inputs, halo=8):
 
 
 def _tile_rows3d(nx_loc, dof, L, tile_x=64, halo=8):
-    """The x-tile row count the 3D builder will pick: tile_x halved
-    until it divides nx_loc, then until the worst kernel fits the
-    VMEM budget; floored at the 8-row DMA alignment unit."""
-    tx = min(tile_x, max(8, nx_loc))
-    while nx_loc % tx:
-        tx //= 2
-    while tx > 8 and _vmem_estimate(dof, tx, L, 3, halo) > _VMEM_BUDGET:
-        tx //= 2
-    return tx
+    """The x-tile row count the 3D builder will pick: the largest
+    multiple of 8 that divides nx_loc, is <= tile_x, and fits the
+    worst kernel (3 double-buffered input slabs) in the VMEM budget.
+    Returns 0 when no such tile exists (callers route the grid to the
+    XLA path) — every candidate honors make_slab_pipeline's
+    tx % 8 == 0 contract, unlike plain halving, which on
+    nx_loc = 24/40/48 with large L produced tx = 12/10/12 and crashed
+    the builder's alignment assertion."""
+    nx_loc = int(nx_loc)
+    if nx_loc % 8:
+        return 0
+    start = max(8, min(int(tile_x), nx_loc) // 8 * 8)
+    for tx in range(start, 7, -8):
+        if nx_loc % tx == 0 and _vmem_estimate(
+            dof, tx, L, 3, halo
+        ) <= _VMEM_BUDGET:
+            return tx
+    return 0
 
 
 def pallas3d_available(grid, ops=None):
@@ -106,9 +115,9 @@ def pallas3d_available(grid, ops=None):
         if nx % 8:
             return False
         halo = _halo_rows(sw)
-        if halo > _tile_rows3d(nx, grid.dof, L, halo=halo):
-            return False
-        if _vmem_estimate(grid.dof, 8, L, 3, halo) > _VMEM_BUDGET:
+        tx = _tile_rows3d(nx, grid.dof, L, halo=halo)
+        if tx == 0 or halo > tx:
+            # no VMEM-feasible 8-aligned tile, or stencil too wide
             return False
         if _interpret_forced():
             return True
@@ -161,11 +170,11 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
     # wrap-chunk offsets are computed in 8-row units, cf. 2D)
     halo = _halo_rows(sw)
     tx = _tile_rows3d(nx_loc, dof, L, tile_x=tile_x, halo=halo)
-    if halo > tx:
+    if tx == 0 or halo > tx:
         raise ValueError(
-            "3D pallas kernels need halo (%d) <= tile rows (%d); "
-            "pallas3d_available routes such grids to the XLA path"
-            % (halo, tx)
+            "3D pallas kernels need a VMEM-feasible tile with halo "
+            "(%d) <= tile rows (%d); pallas3d_available routes such "
+            "grids to the XLA path" % (halo, tx)
         )
     ntiles = nx_loc // tx
     # member batching (see pallas_stencil.py — same scheme)

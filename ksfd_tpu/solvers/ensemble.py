@@ -487,41 +487,53 @@ class EnsembleSolver:
         # _fb_mode arm of the device-loop controller
         fbm = active & self._fbm
         chunk_active = active & ~self._fbm
-        tmax_eff = np.full(N, self.tmax)
-        if self._noise_active():
-            from .solver import next_noise_time
+        kacc = np.zeros(N, dtype=np.int64)
+        attempts = np.zeros(N, dtype=np.int64)
+        rej = np.zeros(N, dtype=bool)
+        # when every active member is parked in fallback hysteresis
+        # the chunk would no-op (all max_accepts=0): skip the device
+        # dispatch entirely, like the scalar Solver while _fb_mode
+        # holds, and go straight to the host fallback step below
+        if chunk_active.any():
+            tmax_eff = np.full(N, self.tmax)
+            if self._noise_active():
+                from .solver import next_noise_time
 
-            for i in np.nonzero(active)[0]:
-                tn = next_noise_time(
-                    self.ps, float(lastvart[i]), self.tmax
-                )
-                if tn is not None and tn < tmax_eff[i]:
-                    tmax_eff[i] = tn
-        max_acc = np.where(chunk_active, self.maxsteps - ks, 0).astype(
-            np.int32
-        )
-        straddled = chunk_active & (tmax_eff < ts)
-        if straddled.any():
-            tmax_eff = np.where(straddled, self.tmax, tmax_eff)
+                for i in np.nonzero(chunk_active)[0]:
+                    tn = next_noise_time(
+                        self.ps, float(lastvart[i]), self.tmax
+                    )
+                    if tn is not None and tn < tmax_eff[i]:
+                        tmax_eff[i] = tn
             max_acc = np.where(
-                straddled, np.minimum(max_acc, 1), max_acc
+                chunk_active, self.maxsteps - ks, 0
             ).astype(np.int32)
-        u1, t1, h1, kacc, attempts, rej = self._vchunk(
-            U, jnp.asarray(ts), jnp.asarray(hs),
-            jnp.asarray(tmax_eff), jnp.asarray(max_acc),
-        )
-        kacc = np.asarray(kacc)
-        attempts = np.asarray(attempts)
-        rej = np.asarray(rej)
-        logENS("vchunk accepted/attempts", kacc, attempts)
-        # on-device rejections count as solve failures (parity with
-        # the reference's SNES-failure accounting)
-        snes = snes + np.where(active, np.maximum(0, attempts - kacc), 0)
-        sel = jnp.asarray(active).reshape((N,) + (1,) * (U.ndim - 1))
-        U = jnp.where(sel, u1, U)
-        ts = np.where(active, np.asarray(t1), ts)
-        hs = np.where(active, np.asarray(h1), hs)
-        ks = ks + np.where(active, kacc, 0)
+            straddled = chunk_active & (tmax_eff < ts)
+            if straddled.any():
+                tmax_eff = np.where(straddled, self.tmax, tmax_eff)
+                max_acc = np.where(
+                    straddled, np.minimum(max_acc, 1), max_acc
+                ).astype(np.int32)
+            u1, t1, h1, kacc, attempts, rej = self._vchunk(
+                U, jnp.asarray(ts), jnp.asarray(hs),
+                jnp.asarray(tmax_eff), jnp.asarray(max_acc),
+            )
+            kacc = np.asarray(kacc)
+            attempts = np.asarray(attempts)
+            rej = np.asarray(rej)
+            logENS("vchunk accepted/attempts", kacc, attempts)
+            # on-device rejections count as solve failures (parity
+            # with the reference's SNES-failure accounting)
+            snes = snes + np.where(
+                active, np.maximum(0, attempts - kacc), 0
+            )
+            sel = jnp.asarray(active).reshape(
+                (N,) + (1,) * (U.ndim - 1)
+            )
+            U = jnp.where(sel, u1, U)
+            ts = np.where(active, np.asarray(t1), ts)
+            hs = np.where(active, np.asarray(h1), hs)
+            ks = ks + np.where(active, kacc, 0)
         anyacc = active & (kacc > 0)
         consec = np.where(anyacc, 0, consec)
         if anyacc.any():

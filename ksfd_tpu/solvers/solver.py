@@ -36,7 +36,56 @@ from .steppers import DIRKTableau, get_tableau, wlte_norm_delta
 logTS = logger("TS")
 
 __all__ = ["make_step_fn", "make_multistep_fn", "Solver", "noise_active",
-           "next_noise_time", "chunk_cfl_safety"]
+           "next_noise_time", "chunk_cfl_safety", "route_petsc_direct"]
+
+
+def route_petsc_direct(numerics, grid):
+    """Apply a PETSc-block direct-solve request to the actual grid.
+
+    A reference options file's ``-ksp_type preonly -pc_type lu`` block
+    (the MUMPS configuration, /root/reference/options84) *means* "exact
+    direct stage solves".  decode_numerics records the request
+    (petsc_direct); this maps it onto the exact direct tier the
+    framework has — native cyclic banded LU in 1D, colored-probe
+    sparse SuperLU at any dimension — whenever this process can afford
+    the factorization, and otherwise keeps the iterative default
+    (which plays MUMPS's role at scale) with a stderr note.  Returns a
+    (possibly replaced) NumericsOptions.
+    """
+    import sys
+
+    if not getattr(numerics, "petsc_direct", False):
+        return numerics
+    from .steppers import DIRKTableau, get_tableau
+
+    reason = None
+    if isinstance(get_tableau(numerics.ts_type), DIRKTableau):
+        reason = "DIRK tableau (the direct tier is Rosenbrock-only)"
+    elif jax.process_count() > 1:
+        reason = (
+            "multi-process run (a host factorization needs "
+            "addressable global state)"
+        )
+    elif grid.n_dofs > Solver.LU_RESCUE_MAX_DOFS:
+        reason = "grid too large to factor on host (%d > %d dofs)" % (
+            grid.n_dofs, Solver.LU_RESCUE_MAX_DOFS,
+        )
+    if reason is not None:
+        print(
+            "ksfd: PETSc direct-solve request kept on the iterative "
+            "stack: %s" % reason,
+            file=sys.stderr,
+        )
+        return numerics
+    import dataclasses
+
+    kt = "banded" if grid.dim == 1 else "lu"
+    print(
+        "ksfd: PETSc '-ksp_type preonly -pc_type lu' routed to the "
+        "exact direct tier: -ksp_type %s" % kt,
+        file=sys.stderr,
+    )
+    return dataclasses.replace(numerics, ksp_type=kt)
 
 
 def noise_active(ps):
@@ -892,6 +941,21 @@ class Solver:
             # role): native cyclic banded LU in 1D, colored-probe
             # sparse SuperLU at any dimension (solvers/direct.py)
             kt = self.numerics.ksp_type
+            if jax.process_count() > 1:
+                from ..utils.exceptions import KSFDException
+
+                # make_sparse_step/make_banded_step gather the GLOBAL
+                # state to host numpy, which a multi-process array's
+                # non-addressable shards forbid (the automatic LU
+                # rescue already guards this in _get_exact_step)
+                raise KSFDException(
+                    "ksp_type=%s is a host-side direct solve and "
+                    "needs addressable global state; it cannot run "
+                    "under multi-process (jax.process_count()=%d) — "
+                    "use the iterative stack there" % (
+                        kt, jax.process_count(),
+                    )
+                )
             self.tableau = get_tableau(self.numerics.ts_type)
             if isinstance(self.tableau, DIRKTableau):
                 raise ValueError(

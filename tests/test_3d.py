@@ -273,3 +273,45 @@ def test_pallas3d_vmap_batching(monkeypatch):
             for i in range(2)
         ])
         np.testing.assert_allclose(out_v, out_s, rtol=1e-6, atol=1e-6)
+
+
+def test_tile_rows3d_alignment_contract():
+    """The 3D tile chooser only returns tiles make_slab_pipeline
+    accepts: multiples of 8 dividing nx_loc (ADVICE r3: plain halving
+    produced tx=12/10/12 on nx_loc=24/40/48 at large L and crashed
+    the builder), and 0 when no tile fits the VMEM budget."""
+    from ksfd_tpu.ops.pallas_stencil3d import (
+        _VMEM_BUDGET, _tile_rows3d, _vmem_estimate,
+    )
+
+    for nx_loc in (8, 16, 24, 40, 48, 56, 64, 72, 128):
+        for L in (2048, 16384, 20480):
+            tx = _tile_rows3d(nx_loc, 3, L, halo=8)
+            if tx:
+                assert tx % 8 == 0 and nx_loc % tx == 0
+                assert _vmem_estimate(3, tx, L, 3, 8) <= _VMEM_BUDGET
+            else:
+                # infeasible: even the smallest aligned tile blows
+                # the budget (or nx_loc itself is misaligned)
+                assert (
+                    nx_loc % 8 != 0
+                    or _vmem_estimate(3, 8, L, 3, 8) > _VMEM_BUDGET
+                )
+    # misaligned per-shard extents are infeasible by contract
+    assert _tile_rows3d(20, 3, 2048, halo=8) == 0
+
+
+def test_pallas3d_available_vmem_infeasible_routes_to_xla():
+    """A grid whose folded cross-section cannot fit any aligned tile
+    in the VMEM budget must report unavailable (XLA fallback), not
+    crash the kernel builder."""
+    from ksfd_tpu.ops.pallas_stencil3d import pallas3d_available
+
+    ps = SolutionParameters(make_clargs(params=PARAMS_3D))
+    # 24 x 128 x 256: L = 32768 folded lanes — beyond the budget at
+    # the minimum tile; nx=24 also exercises the non-power-of-two
+    # divisor path of the chooser
+    grid = Grid(dim=3, width=1, height=1, depth=1,
+                nx=24, ny=128, nz=256, dof=2, order=3)
+    ops = PDEOperators(ps, grid)
+    assert not pallas3d_available(grid, ops)
