@@ -189,6 +189,15 @@ class NumericsOptions:
     snes_iters: int = 2          # modified-Newton iterations per DIRK
                                  # stage (-snes_type ksponly sets 1,
                                  # matching the reference's PETSc runs)
+    petsc_direct: bool = False   # a PETSc block requested the exact
+                                 # direct solve ('-ksp_type preonly
+                                 # -pc_type lu', the reference's MUMPS
+                                 # configuration); the driver routes it
+                                 # onto -ksp_type banded/lu at startup
+                                 # when the grid fits a host
+                                 # factorization (solver.
+                                 # route_petsc_direct), else keeps the
+                                 # iterative stack with a stderr note
     monitor: bool = False
     unrecognized: list = field(default_factory=list)
 
@@ -218,6 +227,8 @@ def decode_numerics(tokens, petsc_tokens=()):
     toks = list(petsc_tokens) + list(tokens)
     i = 0
     arkimex_scheme = None
+    saw_preonly = saw_pc_lu = explicit_ksp = False
+    pending_notes = []
 
     def take_value(i):
         if i + 1 < len(toks) and not toks[i + 1].startswith("-"):
@@ -338,11 +349,11 @@ def decode_numerics(tokens, petsc_tokens=()):
                 "gmres_scipy", "dense", "direct", "banded", "lu",
             ):
                 opts.ksp_type = val
+                # a native selection overrides the PETSc-pair routing
+                explicit_ksp = True
             elif val == "preonly":
-                # PETSc 'preonly + pc_type lu' == a direct solve; our
-                # default iterative stack plays that role at scale, so
-                # keep the default but note the translation.
-                opts.unrecognized.append(
+                saw_preonly = True
+                pending_notes.append(
                     "ksp_type preonly (kept default; exact direct "
                     "solves: -ksp_type lu any-dim, banded 1D)"
                 )
@@ -352,8 +363,11 @@ def decode_numerics(tokens, petsc_tokens=()):
             val, i = take_value(i)
             if val in ("spectral", "block", "none"):
                 opts.pc_type = val
+            elif val in ("lu", "cholesky"):
+                saw_pc_lu = True
+                pending_notes.append("{t} {v}".format(t=tok, v=val))
             else:
-                # lu/mumps etc.: our spectral preconditioner is the
+                # mumps etc.: our spectral preconditioner is the
                 # TPU-native stand-in for the direct factorization.
                 opts.unrecognized.append("{t} {v}".format(t=tok, v=val))
         elif key == "device_loop":
@@ -401,6 +415,20 @@ def decode_numerics(tokens, petsc_tokens=()):
             opts.unrecognized.append(ent)
     if arkimex_scheme is not None and opts.ts_type == "arkimex":
         opts.ts_type = arkimex_scheme
+    if saw_preonly and saw_pc_lu and not explicit_ksp:
+        # the reference's MUMPS configuration
+        # (/root/reference/options84 PETSc block): an exact direct
+        # solve is the intent, so record it for startup routing
+        # (solvers.route_petsc_direct applies it once the grid is
+        # known) instead of the individual ignored-token notes
+        opts.petsc_direct = True
+        opts.unrecognized.append(
+            "ksp_type preonly + pc_type lu: exact direct solve "
+            "requested (routed onto -ksp_type banded/lu at startup "
+            "when the grid fits a host factorization)"
+        )
+    else:
+        opts.unrecognized.extend(pending_notes)
     if opts.unrecognized:
         # the -options_left analog (the reference's options files end
         # with PETSc self-checks, /root/reference/options84 PETSc

@@ -323,6 +323,13 @@ def main(*args):
         u0, t, extras = initial_values(clargs, grid, ps)
         ops = PDEOperators(ps, grid, sources=sources,
                            flux_form=clargs.flux_form)
+        # a PETSc '-ksp_type preonly -pc_type lu' block means exact
+        # direct solves (the reference's MUMPS configuration); route
+        # it onto the banded/sparse-LU tier when this grid fits a
+        # host factorization (VERDICT r3 #4)
+        from ksfd_tpu.solvers import route_petsc_direct
+
+        numerics = route_petsc_direct(numerics, grid)
     # Shard the state over all devices (all hosts' devices in a
     # multi-process run); XLA inserts the halo collectives.  The
     # spatial decomposition is the framework's one parallelism

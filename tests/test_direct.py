@@ -246,3 +246,53 @@ def test_ensemble_rejects_host_direct():
                 ops, NumericsOptions(ksp_type=kt), t0=0.0, dt=1.0,
                 tmax=10.0, maxsteps=5,
             )
+
+
+def test_route_petsc_direct():
+    """A PETSc '-ksp_type preonly -pc_type lu' block routes to the
+    exact direct tier when the grid fits a host factorization
+    (VERDICT r3 #4): banded in 1D, sparse LU at >= 2D, iterative
+    default above the cap or on DIRK tableaus."""
+    import dataclasses
+
+    from ksfd_tpu.solvers import route_petsc_direct
+
+    nm = dataclasses.replace(NumericsOptions(), petsc_direct=True)
+    g1 = Grid(dim=1, width=1, nx=128, dof=3, order=3)
+    assert route_petsc_direct(nm, g1).ksp_type == "banded"
+    g2 = Grid(dim=2, width=1, height=1, nx=24, ny=24, dof=2, order=3)
+    assert route_petsc_direct(nm, g2).ksp_type == "lu"
+    gbig = Grid(dim=2, width=1, height=1, nx=512, ny=512, dof=3,
+                order=3)
+    assert route_petsc_direct(nm, gbig).ksp_type == nm.ksp_type
+    nma = dataclasses.replace(nm, ts_type="arkimex")
+    assert route_petsc_direct(nma, g2).ksp_type == nma.ksp_type
+    # no request recorded: untouched
+    assert (
+        route_petsc_direct(NumericsOptions(), g1).ksp_type
+        == NumericsOptions().ksp_type
+    )
+
+
+def test_decode_preonly_lu_records_direct_request():
+    """decode_numerics turns the PETSc pair into petsc_direct=True
+    (with a note), keeps preonly-alone as a plain note, and lets an
+    explicit native ksp_type override the pair."""
+    from ksfd_tpu import decode_numerics
+
+    opts = decode_numerics([], petsc_tokens=[
+        "-ksp_type", "preonly", "-pc_type", "lu",
+    ])
+    assert opts.petsc_direct is True
+    assert opts.ksp_type == NumericsOptions().ksp_type
+    assert any("preonly" in u for u in opts.unrecognized)
+
+    opts = decode_numerics(
+        ["-ksp_type", "richardson"],
+        petsc_tokens=["-ksp_type", "preonly", "-pc_type", "lu"],
+    )
+    assert opts.petsc_direct is False
+
+    opts = decode_numerics(["-ksp_type", "preonly"])
+    assert opts.petsc_direct is False
+    assert any("preonly" in u for u in opts.unrecognized)

@@ -108,9 +108,11 @@ def test_decode_numerics_solver_selection():
     assert opts.ksp_type == "dense" and opts.ksp_iters == 9
     opts = decode_numerics(["-device_loop", "1", "-pc_type", "block"])
     assert opts.device_loop is True and opts.pc_type == "block"
-    # PETSc preonly+lu keeps the default iterative stack, with a note
+    # PETSc preonly+lu records the direct-solve request (the driver
+    # routes it onto banded/lu once the grid is known), with a note
     opts = decode_numerics(["-ksp_type", "preonly", "-pc_type", "lu"])
     assert opts.ksp_type == "richardson"
+    assert opts.petsc_direct is True
     assert any("preonly" in u for u in opts.unrecognized)
 
 
