@@ -32,6 +32,7 @@ logLIN = logger("LINALG")
 __all__ = [
     "SpectralPreconditioner",
     "BlockSpectralPreconditioner",
+    "make_sharded_block_apply",
     "gmres_solve",
     "dense_solve_factory",
 ]
@@ -60,15 +61,21 @@ class SpectralPreconditioner:
         dtype; only the Krylov convergence rate is (marginally)
         affected, never the solution.
 
-        bfloat16 runs the TRANSFORM matmuls in bf16 (4x the f32 MXU
-        rate; accumulation stays f32 via preferred_element_type) while
-        all mode-space arithmetic (denominators, Schur complement)
-        stays float32 — bf16 input rounding perturbs M^{-1} by ~1e-2
-        relative, far inside the Richardson contraction margin, but
-        bf16 DENOMINATOR arithmetic would be fatal (mode stiffness
-        spans ~6 orders).  At many sweeps/stage on large grids the
-        transforms dominate the step; this is the knob for that
-        regime (-pc_dtype bf16).
+        bfloat16 runs the TRANSFORM matmuls on bf16 operands AND
+        stores the transform intermediates/coefficients in bf16
+        (preferred_element_type=bfloat16), while all mode-space
+        arithmetic (denominators, Schur complement) is computed in
+        float32 from the bf16 coefficients — bf16 rounding perturbs
+        M^{-1} by ~1e-2 relative, far inside the Richardson
+        contraction margin, but bf16 DENOMINATOR arithmetic would be
+        fatal (mode stiffness spans ~6 orders).  The bf16 STORAGE is
+        the point (r4 finding): the apply is HBM-bound on its GEMM
+        intermediates (f32 everywhere measured 117-150 us at 1024^2x3
+        on v5e vs a ~65 us MXU floor; a fused Pallas rewrite measured
+        181 us — see tools/probe_pc_kernel.py), so halving the
+        intermediate bytes attacks the actual bottleneck; sharded, it
+        also halves the all-reduce wire bytes of the pc floor
+        (tests/test_comm_audit.py).
 
         use_fft: apply the SAME circulant inverse through rfftn/irfftn
         instead of the basis matmuls — O(n log n) per axis instead of
@@ -91,6 +98,14 @@ class SpectralPreconditioner:
             jnp.float32
             if compute_dtype == jnp.bfloat16
             else compute_dtype
+        )
+        # bf16 mode keeps the GEMM outputs (intermediates, mode
+        # coefficients) in bf16 storage; otherwise they match the
+        # mode-arithmetic dtype
+        self._interm_dtype = (
+            jnp.bfloat16
+            if compute_dtype == jnp.bfloat16
+            else self.compute_dtype
         )
         if self.use_fft:
             # FFT mode is f32-only (TPU XLA has no f64 FFT): clamp the
@@ -130,11 +145,13 @@ class SpectralPreconditioner:
         if self.use_fft:
             axes = tuple(range(1, 1 + self.dim))
             return jnp.fft.rfftn(v.astype(jnp.float32), axes=axes)
-        # Inputs are cast to the transform dtype; accumulation and the
-        # returned coefficients stay in compute_dtype (f32 for bf16
-        # transforms).
+        # Inputs are cast to the transform dtype.  f32/f64 transforms
+        # accumulate and return coefficients in compute_dtype; bf16
+        # transforms also STORE intermediates/coefficients in bf16
+        # (the apply is HBM-bound on them — see __init__ docstring);
+        # mode arithmetic upcasts to f32 at its use sites.
         v = v.astype(self.transform_dtype)
-        kw = dict(preferred_element_type=self.compute_dtype)
+        kw = dict(preferred_element_type=self._interm_dtype)
         if self.dim == 1:
             return jnp.einsum("fi,ik->fk", v, self.Qs[0], **kw)
         if self.dim == 2:
@@ -151,6 +168,10 @@ class SpectralPreconditioner:
             axes = tuple(range(1, 1 + self.dim))
             return jnp.fft.irfftn(c, s=self.sshape, axes=axes)
         c = c.astype(self.transform_dtype)
+        # the FINAL inverse-transform output feeds f32/f64 consumers:
+        # accumulate/store it in compute_dtype even in bf16 mode (the
+        # caller casts to the solve dtype; a bf16 final result would
+        # round the preconditioned residual itself, not just M^{-1})
         kw = dict(preferred_element_type=self.compute_dtype)
         if self.dim == 1:
             return jnp.einsum("fk,ik->fi", c, self.Qs[0], **kw)
@@ -207,23 +228,13 @@ class BlockSpectralPreconditioner(SpectralPreconditioner):
         self.ops = ops
         self.nfields = ops.nligands + 1
 
-    def apply_linearized(self, v, shift, t, means, rho_diff=None):
-        """v: (dof, *sshape); means: per-field scalars of the STATE
-        being linearized (not of v, which is a residual).
-
-        rho_diff: optional scalar upper bound on the rho row's
-        effective diffusivity max_x(rho * dG/drho).  At capped density
-        peaks rho*Vcap' exceeds the mean-state value by orders of
-        magnitude; overestimating the diffusion in M keeps the
-        preconditioned spectrum inside the Richardson stability region
-        (slow modes are then caught by the step-error control), while
-        the mean-state value underestimates it and lets the iteration
-        diverge — the options92 equilibrium exposed exactly this.
+    def _arrow_solve(self, c, shift, t, means, rho_diff, nextra=0):
+        """Per-mode arrow-system solve on transformed coefficients c
+        (f32 arithmetic; shared by the transparent apply_linearized
+        and the explicitly-sharded apply of make_sharded_block_apply).
         """
         cd = self.compute_dtype
-        in_dtype = v.dtype
         nf = self.nfields
-        c = self._forward(v.astype(cd))
         lam = self.lam.astype(cd)
         dG, s, gamma, D = self.ops.linearization_coefficients(means, t)
         rho_mean = jnp.asarray(means[0], dtype=cd)
@@ -255,9 +266,113 @@ class BlockSpectralPreconditioner(SpectralPreconditioner):
             c_l, d_l = xs_den[l]
             outs.append((c[1 + l] - c_l * x_r) / d_l)
         # any extra (non-physical) trailing fields: shift-only inverse
-        for extra in range(nf, v.shape[0]):
+        for extra in range(nf, nf + nextra):
             outs.append(c[extra] / shift)
-        return self._inverse(jnp.stack(outs, axis=0)).astype(in_dtype)
+        return jnp.stack(outs, axis=0)
+
+    def apply_linearized(self, v, shift, t, means, rho_diff=None):
+        """v: (dof, *sshape); means: per-field scalars of the STATE
+        being linearized (not of v, which is a residual).
+
+        rho_diff: optional scalar upper bound on the rho row's
+        effective diffusivity max_x(rho * dG/drho).  At capped density
+        peaks rho*Vcap' exceeds the mean-state value by orders of
+        magnitude; overestimating the diffusion in M keeps the
+        preconditioned spectrum inside the Richardson stability region
+        (slow modes are then caught by the step-error control), while
+        the mean-state value underestimates it and lets the iteration
+        diverge — the options92 equilibrium exposed exactly this.
+        """
+        in_dtype = v.dtype
+        c = self._forward(v.astype(self.compute_dtype))
+        outs = self._arrow_solve(
+            c, shift, t, means, rho_diff,
+            nextra=v.shape[0] - self.nfields,
+        )
+        return self._inverse(outs).astype(in_dtype)
+
+
+def make_sharded_block_apply(precond, ops, mesh):
+    """Explicitly sharded block-pc apply with ONE reduced-dtype psum
+    per apply — the multi-chip wire-byte knob (VERDICT r3 #1).
+
+    XLA's transparent partitioning of the einsum apply must all-reduce
+    the contraction partials in f32 even under -pc_dtype bf16 (the
+    dot's preferred_element_type rounding is specified AFTER the full
+    contraction, so per-shard rounding would change semantics —
+    verified in the lowered HLO).  This wrapper instead runs the apply
+    per shard under shard_map: the forward transform contracts only
+    the LOCAL x rows against the shard's Qx slab, the partial mode
+    coefficients are explicitly cast to the transform dtype and
+    psum'ed (bf16 on the wire when -pc_dtype bf16 — per-shard rounding
+    is exactly the approximation bf16 transforms accept), the arrow
+    solve runs replicated, and the inverse transform produces only the
+    local rows with no further collective.  One psum per apply also
+    merges the forward/inverse all-reduce pair of the transparent
+    lowering.  Engaged by make_step_fn when a kernel-compatible mesh
+    is active and pc_dtype is bfloat16 (tests/test_comm_audit.py pins
+    the byte halving).
+    """
+    from jax.sharding import PartitionSpec
+
+    axis = mesh.axis_names[0]
+    n_x = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    dim = precond.dim
+    td = precond.transform_dtype
+    cd = precond.compute_dtype
+    Qs = [q.astype(td) for q in precond.Qs]
+    kwf = dict(preferred_element_type=precond._interm_dtype)
+    kwi = dict(preferred_element_type=cd)
+    state = PartitionSpec(None, axis, *([None] * (dim - 1)))
+
+    def local_apply(v, qx, shift, t, means, rho_diff):
+        in_dtype = v.dtype
+        vt = v.astype(td)
+        if dim == 1:
+            cp = jnp.einsum("fi,ik->fk", vt, qx, **kwf)
+        elif dim == 2:
+            cp = jnp.einsum("fij,ik,jl->fkl", vt, qx, Qs[1], **kwf)
+        else:
+            cp = jnp.einsum(
+                "fijm,ik,jl,mn->fkln", vt, qx, Qs[1], Qs[2], **kwf
+            )
+        # THE collective: partial mode coefficients, transform dtype
+        c = jax.lax.psum(cp.astype(td), axis)
+        outs = precond._arrow_solve(
+            c, shift, t, list(means), rho_diff,
+            nextra=v.shape[0] - precond.nfields,
+        ).astype(td)
+        if dim == 1:
+            out = jnp.einsum("fk,ik->fi", outs, qx, **kwi)
+        elif dim == 2:
+            out = jnp.einsum("fkl,ik,jl->fij", outs, qx, Qs[1], **kwi)
+        else:
+            out = jnp.einsum(
+                "fkln,ik,jl,mn->fijm", outs, qx, Qs[1], Qs[2], **kwi
+            )
+        return out.astype(in_dtype)
+
+    smapped = jax.shard_map(
+        local_apply,
+        mesh=mesh,
+        in_specs=(
+            state,                      # v: x-sharded state
+            PartitionSpec(axis, None),  # Qx rows follow the x shards
+            PartitionSpec(), PartitionSpec(), PartitionSpec(),
+            PartitionSpec(),
+        ),
+        out_specs=state,
+        check_vma=False,
+    )
+
+    def apply(v, shift, t, means, rho_diff):
+        return smapped(
+            v, Qs[0], jnp.asarray(shift), jnp.asarray(t),
+            jnp.stack([jnp.asarray(m) for m in means]),
+            jnp.asarray(rho_diff),
+        )
+
+    return apply
 
 
 def gmres_solve(op, b, M=None, tol=1e-8, restart=20, maxiter=50, x0=None):

@@ -224,6 +224,46 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
     fast32 = numerics.precision in ("float32", "f32") and not use_dense
     sweep32 = numerics.sweep_dtype in ("float32", "f32")
     pallas_rhs = pallas_jvp = pallas_delta = pallas_resid = None
+    pc_fused = None
+    if (
+        block_pc
+        and numerics.pc_pallas
+        and numerics.use_pallas
+        and not precond.use_fft
+        and numerics.pc_dtype != "float64"
+        and mesh is None
+    ):
+        # fused Pallas block-pc apply (forward transform + arrow
+        # inverse + inverse transform with VMEM-resident
+        # intermediates): OPT-IN (-pc_pallas 1) — measured at parity
+        # with the einsum apply on v5e (both MXU-utilization-bound;
+        # tools/probe_pc_kernel.py), and single-shard only
+        from ..ops.pallas_pc import (
+            make_pallas_block_pc,
+            pallas_pc_available,
+        )
+        from ..ops.pallas_stencil import _interpret_forced
+
+        if (
+            unsharded_ok
+            or len(jax.devices()) == 1
+            or _interpret_forced()
+        ) and pallas_pc_available(ops.grid, ops):
+            pc_fused = make_pallas_block_pc(ops.grid, ops)
+    pc_sharded = None
+    if (
+        block_pc
+        and mesh is not None
+        and numerics.pc_dtype == "bfloat16"
+        and not precond.use_fft
+    ):
+        # explicitly sharded apply with ONE bf16 psum per apply: the
+        # multi-chip wire-byte knob (-pc_dtype bf16 under a sharded
+        # mesh); XLA's transparent lowering must keep its all-reduces
+        # f32 (see linalg.make_sharded_block_apply)
+        from .linalg import make_sharded_block_apply
+
+        pc_sharded = make_sharded_block_apply(precond, ops, mesh)
     if numerics.use_pallas and not use_dense:
         from ..ops.pallas_stencil import (
             _interpret_forced,
@@ -287,6 +327,8 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
         pallas_jvp=pallas_jvp is not None,
         pallas_delta=pallas_delta is not None,
         pallas_resid=pallas_resid is not None,
+        pallas_pc=pc_fused is not None,
+        pc_sharded=pc_sharded is not None,
         mesh_shape=(
             dict(zip(mesh.axis_names, (int(s) for s in
                                        mesh.devices.shape)))
@@ -362,9 +404,23 @@ def make_step_fn(ops, numerics=None, atol=1e-5, rtol=1e-5, tableau=None,
                 # linalg.apply_linearized): robust at capped peaks
                 dG0 = ops._dG_fns[0](*[ustat[i] for i in range(nf)], t)
                 rho_diff = jnp.max(ustat[0] * dG0)
-                Minv = lambda v: precond.apply_linearized(
-                    v, shift, t, means, rho_diff=rho_diff
-                )
+                if pc_sharded is not None:
+                    Minv = lambda v: pc_sharded(
+                        v, shift, t, means, rho_diff
+                    )
+                elif pc_fused is not None:
+                    from ..ops.pallas_pc import pack_pc_scalars
+
+                    sc_pc = pack_pc_scalars(
+                        ops, shift, t, means, rho_diff
+                    )
+                    Minv = lambda v: pc_fused(
+                        sc_pc, v.astype(jnp.float32)
+                    ).astype(v.dtype)
+                else:
+                    Minv = lambda v: precond.apply_linearized(
+                        v, shift, t, means, rho_diff=rho_diff
+                    )
             elif precond is not None:
                 diff, decay = ops.stiff_coefficients(t)
                 Minv = lambda v: precond.apply(v, shift, diff, decay)
@@ -797,6 +853,36 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         ops, numerics, atol=atol, rtol=rtol, tableau=tableau, mesh=mesh,
         chain_f0=True, unsharded_ok=unsharded_ok,
     )
+    # On-device sweep-tier escalation (VERDICT r3 #2): a finite
+    # rejection of the ksp_iters fast attempt retries ONCE at
+    # ksp_iters_max sweeps at the SAME h before shrinking, and a
+    # rescued step parks the chunk on the high tier for ESC_PARK
+    # accepts (hysteresis) before probing the fast tier again.  Stiff
+    # phases thus self-select the sweep count per step instead of the
+    # user choosing a static worst-case -ksp_iters for the whole run.
+    # Both tiers are prebuilt steps selected by lax.cond — plain
+    # Richardson chains, UNROLLED (gmres.py threshold 16), so the
+    # rolled-Krylov-in-cond-in-while pattern that crashed the TPU
+    # runtime in r2 does not arise.
+    ESC_PARK = 16
+    esc_iters = int(getattr(numerics, "ksp_iters_max", 0) or 0)
+    esc_ok = (
+        esc_iters > int(numerics.ksp_iters)
+        and numerics.ksp_type == "richardson"
+    )
+    step_hi = chain_hi = None
+    if esc_ok:
+        import dataclasses
+
+        nm_hi = dataclasses.replace(numerics, ksp_iters=esc_iters)
+        step_hi, _ = make_step_fn(
+            ops, nm_hi, atol=atol, rtol=rtol, tableau=tableau,
+            mesh=mesh, unsharded_ok=unsharded_ok,
+        )
+        chain_hi, _ = make_step_fn(
+            ops, nm_hi, atol=atol, rtol=rtol, tableau=tableau,
+            mesh=mesh, chain_f0=True, unsharded_ok=unsharded_ok,
+        )
     n = numerics
     expo = -1.0 / (tab.order + 1)
 
@@ -806,7 +892,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         max_accepts = jnp.asarray(max_accepts, dtype=jnp.int32)
 
         def cond(c):
-            u, t, h, f0, k, fails, attempts = c
+            u, t, h, f0, k, fails, attempts, esc = c
             return (
                 (attempts < max_attempts)
                 & (k < max_accepts)
@@ -814,15 +900,57 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 & (fails < max_rejects)
             )
 
-        def body(c):
-            u, t, h, f0, k, fails, attempts = c
+        def attempt_lo(u, t, h, f0):
             if chain is not None:
-                u1, enorm, f1 = chain.step(u, t, h, f0)
+                return chain.step(u, t, h, f0)
+            u1, enorm = step(u, t, h)
+            return u1, enorm, f0
+
+        def attempt_hi(u, t, h, f0):
+            if chain_hi is not None:
+                return chain_hi.step(u, t, h, f0)
+            u1, enorm = step_hi(u, t, h)
+            return u1, enorm, f0
+
+        def body(c):
+            u, t, h, f0, k, fails, attempts, esc = c
+            if esc_ok:
+                # parked on the high tier? attempt there directly
+                use_hi = esc > 0
+                u1, enorm, f1 = jax.lax.cond(
+                    use_hi,
+                    lambda _: attempt_hi(u, t, h, f0),
+                    lambda _: attempt_lo(u, t, h, f0),
+                    None,
+                )
+                # a finite fast-tier rejection retries once at the
+                # escalated sweep count at the SAME h
+                retry = (
+                    (~use_hi)
+                    & jnp.isfinite(enorm)
+                    & (enorm > 1.0)
+                )
+                u1, enorm, f1 = jax.lax.cond(
+                    retry,
+                    lambda _: attempt_hi(u, t, h, f0),
+                    lambda _: (u1, enorm, f1),
+                    None,
+                )
+                attempts = attempts + retry.astype(attempts.dtype)
             else:
-                u1, enorm = step(u, t, h)
-                f1 = f0
+                use_hi = retry = jnp.bool_(False)
+                u1, enorm, f1 = attempt_lo(u, t, h, f0)
             finite = jnp.isfinite(enorm)
             ok = finite & (enorm <= 1.0)
+            if esc_ok:
+                # hysteresis: a rescue parks the chunk on the high
+                # tier for ESC_PARK accepts; each parked accept
+                # counts down toward re-probing the fast tier
+                esc = jnp.where(
+                    retry & ok,
+                    jnp.int32(ESC_PARK),
+                    jnp.where(use_hi & ok, esc - 1, esc),
+                )
             hfac = n.safety * jnp.power(
                 jnp.maximum(enorm, 1e-300), expo
             )
@@ -855,15 +983,15 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 0,
                 jnp.where(finite, fails + 1, jnp.int32(max_rejects)),
             )
-            return (u, t, h, f0, k, fails, attempts + 1)
+            return (u, t, h, f0, k, fails, attempts + 1, esc)
 
         if chain is not None:
             f0 = ops.rhs(ops.groom(u), t)
         else:
             f0 = jnp.zeros((), dtype=t.dtype)  # unused carry slot
         zero = jnp.asarray(0, dtype=jnp.int32)
-        u, t, h, f0, k, fails, attempts = jax.lax.while_loop(
-            cond, body, (u, t, h, f0, zero, zero, zero)
+        u, t, h, f0, k, fails, attempts, _ = jax.lax.while_loop(
+            cond, body, (u, t, h, f0, zero, zero, zero, zero)
         )
         return u, t, h, k, attempts, fails >= max_rejects
 

@@ -138,6 +138,17 @@ class NumericsOptions:
     ksp_max_it: int = 50
     ksp_rtol: float = 1e-8
     ksp_restart: int = 20
+    ksp_iters_max: int = 16       # escalated sweep count for the
+                                  # device-fused adaptive chunk's
+                                  # on-device retry tier: a finite
+                                  # rejection of the ksp_iters fast
+                                  # attempt retries ONCE at this count
+                                  # at the SAME h before shrinking
+                                  # (and parks there briefly), so
+                                  # stiff phases no longer force a
+                                  # static worst-case -ksp_iters for
+                                  # the whole run (VERDICT r3 #2).
+                                  # <= ksp_iters disables.
     ksp_iters: int = 3            # sweeps / Krylov dim of fixed solvers
                                   # (3 measured equivalent to 4 on all
                                   # gates: options92/93, 256^2 TPU ramp
@@ -159,7 +170,30 @@ class NumericsOptions:
                                  # constant CFL factor clamps h on
                                  # device; only a TIME-DEPENDENT CFL
                                  # factor falls back to the host loop)
-    pc_dtype: str = "float32"    # transform dtype (approx inverse)
+    pc_dtype: str = "float32"    # transform dtype (approx inverse).
+                                 # bf16 also stores the transform
+                                 # intermediates/coefficients in bf16:
+                                 # single-chip-neutral (the apply is
+                                 # MXU-utilization-bound, measured
+                                 # 146 vs 145 us at 1024^2) but HALVES
+                                 # the sharded pc's all-reduce wire
+                                 # bytes — the multi-chip comm knob
+                                 # (tests/test_comm_audit.py pins the
+                                 # halving).  Not defaulted under
+                                 # sharding: the 1e-5 sharded-vs-
+                                 # single identity tests — the multi-
+                                 # chip correctness strategy — require
+                                 # the same pc on both sides.
+    pc_pallas: bool = False      # fused Pallas block-pc apply
+                                 # (ops/pallas_pc.py).  Measured AT
+                                 # PARITY with the einsum apply on
+                                 # v5e (143 vs 145 us at 1024^2x3 —
+                                 # both MXU-utilization-bound, see
+                                 # tools/probe_pc_kernel.py), so the
+                                 # simpler sharding-transparent
+                                 # einsums stay the default; kept
+                                 # selectable for platforms where
+                                 # Mosaic GEMMs beat XLA's.
     pc_fft: str = "off"          # spectral-pc transforms via f32
                                  # rfftn/irfftn instead of the basis
                                  # matmuls.  ~100x fewer FLOPs but
@@ -339,6 +373,9 @@ def decode_numerics(tokens, petsc_tokens=()):
         elif key == "ksp_iters":
             val, i = take_value(i)
             opts.ksp_iters = inum(val, tok)
+        elif key == "ksp_iters_max":
+            val, i = take_value(i)
+            opts.ksp_iters_max = inum(val, tok)
         elif key == "ksp_restart" or key == "ksp_gmres_restart":
             val, i = take_value(i)
             opts.ksp_restart = inum(val, tok)
@@ -398,6 +435,9 @@ def decode_numerics(tokens, petsc_tokens=()):
                 "f32": "float32", "f64": "float64",
                 "float32": "float32", "float64": "float64",
             }.get(val, opts.pc_dtype)
+        elif key == "pc_pallas":
+            val, i = take_value(i)
+            opts.pc_pallas = str(val) not in ("0", "false", "False")
         elif key == "pc_fft":
             val, i = take_value(i)
             opts.pc_fft = {

@@ -167,3 +167,39 @@ def test_sharded_xla_path_step_no_gathers(ops2d, monkeypatch):
         ops, grid, NumericsOptions(use_pallas=False), monkeypatch
     )
     _audit(txt, nm, max_permutes=280)  # measured 252 roll edges
+
+
+def test_sharded_pc_bf16_psum_requests(ops2d, monkeypatch):
+    """-pc_dtype bf16 under a sharded mesh routes the pc through the
+    explicitly-sharded apply (linalg.make_sharded_block_apply): ONE
+    psum per apply, REQUESTED on bf16 mode coefficients — the
+    multi-chip wire-byte knob (VERDICT r3 #1).  The XLA:CPU backend of
+    this virtual-mesh test legalizes a bf16 all-reduce through
+    f32 converts (visible in the HLO), so the assertion pins the
+    REQUEST — state-sized bf16 converts feeding the psums — which the
+    TPU backend honors natively over ICI (bf16 collectives are the
+    standard gradient-reduction path).  Not the default: the
+    sharded-vs-single 1e-5 identity tests require the same pc on both
+    sides of the comparison."""
+    ps, grid, ops = ops2d
+    txt16, nm16 = _lower_sharded_step(
+        ops, grid, NumericsOptions(pc_dtype="bfloat16"), monkeypatch
+    )
+    _audit(txt16, nm16)
+    # state-sized bf16 psum-request converts, one per M^{-1} apply
+    psum_reqs = re.findall(
+        r"bf16\[3,64,64\][^\n]*convert[^\n]*psum", txt16
+    )
+    applies = 4 * nm16.ksp_iters + 1
+    assert len(psum_reqs) >= nm16.ksp_iters * 4, (
+        len(psum_reqs), applies,
+    )
+    # and the explicitly-sharded apply merges the einsum path's
+    # fwd/inv all-reduce pair: the per-step state-sized all-reduce
+    # count stays at one-per-apply
+    coll = collect_collectives(txt16)
+    big_ar = [
+        e for e, _ in coll.get("all-reduce", [])
+        if e >= STATE_ELEMS // 2
+    ]
+    assert len(big_ar) <= applies, (len(big_ar), applies)

@@ -723,3 +723,86 @@ def test_pallas_groom_clamps_nan(ops2d):
     out_cl = np.asarray(rhs_p(jnp.asarray(u_clamped, jnp.float32), 0.0))
     assert np.isfinite(out_nan).all()
     np.testing.assert_array_equal(out_nan, out_cl)
+
+
+def _ops2d_128():
+    """128-aligned variant of ops2d: the fused pc kernels require
+    128-multiple axes (pallas_pc_available)."""
+    from helpers import make_clargs, OPTIONS92_PARAMS
+    from ksfd_tpu import Grid, SolutionParameters
+    from ksfd_tpu.ops import PDEOperators
+
+    params = [
+        p for p in OPTIONS92_PARAMS
+        if p.split("=", 1)[0]
+        not in ("nelements", "dim", "rho0", "U0_1_1", "U0_2_1")
+    ] + ["nelements=128", "dim=2", "height=1", "rho0=murho",
+         "U0_1_1=", "U0_2_1="]
+    ps = SolutionParameters(make_clargs(params=params))
+    grid = Grid(dim=2, width=1.0, height=1.0, nx=128, ny=128, dof=3,
+                order=3)
+    return ps, grid, PDEOperators(ps, grid)
+
+
+def test_pallas_pc_matches_einsum_apply(ops2d, monkeypatch):
+    """The fused Pallas block-pc apply (opt-in -pc_pallas; measured at
+    parity with the einsum apply on v5e, tools/probe_pc_kernel.py)
+    must reproduce apply_linearized exactly up to dot association in
+    interpret mode."""
+    from ksfd_tpu.ops.pallas_pc import (
+        make_pallas_block_pc,
+        pallas_pc_available,
+        pack_pc_scalars,
+    )
+    from ksfd_tpu.solvers.linalg import BlockSpectralPreconditioner
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = _ops2d_128()
+    assert pallas_pc_available(grid, ops)
+    pc = BlockSpectralPreconditioner(grid, ops, compute_dtype="float32")
+    fused = make_pallas_block_pc(grid, ops)
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(
+        rng.standard_normal((grid.dof,) + tuple(grid.Sshape)),
+        dtype=jnp.float32,
+    )
+    t, shift = 0.0, 2.29
+    nf = grid.dof
+    means = [jnp.mean(u0[i]) for i in range(nf)]
+    dG0 = ops._dG_fns[0](*[u0[i] for i in range(nf)], t)
+    rho_diff = jnp.max(u0[0] * dG0)
+    want = np.asarray(
+        pc.apply_linearized(v, shift, t, means, rho_diff=rho_diff)
+    )
+    sc = pack_pc_scalars(ops, shift, t, means, rho_diff)
+    got = np.asarray(fused(sc, v))
+    dev = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert dev < 1e-5, dev
+
+
+def test_pc_pallas_step_matches_default(ops2d, monkeypatch):
+    """A -pc_pallas step matches the default-einsum step at the
+    stage-solve truncation envelope (different pc rounding class =>
+    different solve truncation, bounded by the Richardson margin)."""
+    from ksfd_tpu import NumericsOptions
+    from ksfd_tpu.solvers import make_step_fn
+    from ksfd_tpu.solvers.solver import BUILD_INFO
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    ps, grid, ops = _ops2d_128()
+    u0 = ops.groom(jnp.asarray(rough_state(grid)))
+    t = jnp.asarray(0.0)
+    h = jnp.asarray(1e-3)
+    step_ref, _ = make_step_fn(
+        ops, NumericsOptions(), atol=0.01, rtol=1e-6
+    )
+    u_ref, e_ref = step_ref(u0, t, h)
+    step_pc, _ = make_step_fn(
+        ops, NumericsOptions(pc_pallas=True), atol=0.01, rtol=1e-6
+    )
+    assert BUILD_INFO["pallas_pc"]
+    u_pc, e_pc = step_pc(u0, t, h)
+    inc = float(jnp.max(jnp.abs(u_ref - u0)))
+    dev = float(jnp.max(jnp.abs(u_pc - u_ref)))
+    assert dev / inc < 1e-4, (dev, inc)
