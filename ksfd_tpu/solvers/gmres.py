@@ -66,8 +66,14 @@ def richardson_solve(op, b, M, iters=12, x0=None):
     # Small static sweep counts are UNROLLED: a lax.fori_loop body is
     # a fusion barrier (the += of sweep k cannot fuse into sweep k+1's
     # residual pass), and at the default 3 sweeps the loop saves no
-    # compile time worth having.
-    if int(iters) <= 8:
+    # compile time worth having.  The threshold covers the escalated
+    # chunk tier (ksp_iters_max=16): the unrolled graph stays small
+    # (sweeps are single fused ops, unlike Krylov's scalar-op
+    # explosions), and an unrolled body inside the chunk's
+    # lax.cond-in-while avoids the rolled-loop-in-cond-in-while
+    # pattern that crashed the TPU runtime in r2 (see
+    # make_adaptive_chunk_fn).
+    if int(iters) <= 16:
         for _ in range(int(iters) - 1):
             x = x + M(b - op(x))
         return x
@@ -86,7 +92,7 @@ def richardson_solve_resid(resid, b, M, iters=12):
 
     x = M(b)
 
-    if int(iters) <= 8:  # unroll: see richardson_solve
+    if int(iters) <= 16:  # unroll: see richardson_solve
         for _ in range(int(iters) - 1):
             x = x + M(resid(x, b))
         return x
