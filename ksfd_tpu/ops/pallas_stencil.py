@@ -133,7 +133,7 @@ def _tile_rows(nx_loc, tile_x=128):
 
 
 def make_slab_pipeline(*, nx_loc, tx, halo, ntiles, B, padded_src,
-                       nbuf=2):
+                       nbuf=2, lane_chunks=None):
     """Shared double-buffered slab-DMA machinery of the fused kernels
     (2D rows and folded-3D rows are shape-identical: (dof, x, lanes)).
 
@@ -148,11 +148,21 @@ def make_slab_pipeline(*, nx_loc, tx, halo, ntiles, B, padded_src,
     ppermute-padded layout (halo rows come from ring neighbors) and
     copy one contiguous chunk per tile.
 
-    Returns (db_prologue, nchunks): db_prologue(inputs, b, i) starts /
-    waits the copies for flat tile (b, i) over ``inputs`` = list of
-    (ref, slab_scratch, sem_array) and returns the buffer index
-    holding the current tile.  Scratch shapes: slab (nbuf, dof,
-    tx + 2*halo, lanes); sem (nbuf, nchunks) DMA semaphores.
+    lane_chunks: optional (n_lane_tiles, cl, hl, L) tiling of the
+    LANE axis — the 3D builders' folded (y, z) cross-section when it
+    is too large to keep fully resident (VERDICT r3 #3).  Each tile of
+    the now-2D tile grid (x-tile ix, lane-tile iy) copies THREE lane
+    pieces per x-chunk — a cl-lane body at iy*cl plus hl-lane halos
+    from the periodically-wrapped neighbors — so y stencils read
+    in-chunk lanes with no pad copy and no full-L residency.
+    Alignment: cl and hl must be multiples of 128 (lane offsets are
+    multiples of gcd(cl, hl) mod L) and hl <= cl.
+
+    Returns (db_prologue, nchunks): db_prologue(inputs, b, ix[, iy])
+    starts / waits the copies for the flat tile over ``inputs`` =
+    list of (ref, slab_scratch, sem_array) and returns the buffer
+    index holding the current tile.  Scratch shapes: slab (nbuf, dof,
+    tx + 2*halo, lanes-per-chunk); sem (nbuf, nchunks) DMA semaphores.
 
     Alignment contract: nx_loc, tx, and halo must all be multiples of
     8 (offsets are computed in 8-row units so Mosaic can prove
@@ -161,67 +171,116 @@ def make_slab_pipeline(*, nx_loc, tx, halo, ntiles, B, padded_src,
     """
     assert nx_loc % 8 == 0 and tx % 8 == 0 and halo % 8 == 0
     assert halo <= tx
-    nchunks = 1 if padded_src else 3
-    n_flat = (B or 1) * ntiles
+    n_x_chunks = 1 if padded_src else 3
+    if lane_chunks is not None:
+        nlt, cl, hl, L = (int(v) for v in lane_chunks)
+        assert cl % 128 == 0 and hl % 128 == 0 and hl <= cl
+        assert nlt * cl == L
+        lane_pieces = 3
+    else:
+        nlt, cl, hl, L = 1, 0, 0, 0
+        lane_pieces = 1
+    nchunks = n_x_chunks * lane_pieces
+    n_flat = (B or 1) * ntiles * nlt
 
     def tile_copies(ref, slab, sem, fi, buf):
         """Async-copy descriptors filling slab[buf] with flat tile
-        fi's x-slab from ref (identical descriptors must be
-        reconstructed to wait)."""
+        fi's x-slab (x lane-chunk) from ref (identical descriptors
+        must be reconstructed to wait)."""
         buf = jnp.int32(buf)
         fi = jnp.int32(fi)
+        iy = jax.lax.rem(fi, jnp.int32(nlt))
+        fx = jax.lax.div(fi, jnp.int32(nlt))
         if B:
-            bb = jax.lax.div(fi, jnp.int32(ntiles))
-            ii = jax.lax.rem(fi, jnp.int32(ntiles))
-            src = lambda off, n: ref.at[bb, :, pl.ds(off, n), :]
+            bb = jax.lax.div(fx, jnp.int32(ntiles))
+            ii = jax.lax.rem(fx, jnp.int32(ntiles))
+            srcf = lambda off, n, l0, nl_: ref.at[
+                bb, :, pl.ds(off, n), pl.ds(l0, nl_)
+            ]
+            srcr = lambda off, n: ref.at[bb, :, pl.ds(off, n), :]
         else:
-            ii = fi
-            src = lambda off, n: ref.at[:, pl.ds(off, n), :]
+            ii = fx
+            srcf = lambda off, n, l0, nl_: ref.at[
+                :, pl.ds(off, n), pl.ds(l0, nl_)
+            ]
+            srcr = lambda off, n: ref.at[:, pl.ds(off, n), :]
+
+        if lane_chunks is not None:
+            # (lane_src_offset, lane_dst_offset, lane_len) pieces:
+            # lo halo | body | hi halo, periodic in the y direction
+            # (offsets are multiples of gcd(cl, hl) >= 128 mod L)
+            lo = jax.lax.rem(
+                iy * jnp.int32(cl) - jnp.int32(hl) + jnp.int32(L),
+                jnp.int32(L),
+            )
+            hi = jax.lax.rem(
+                (iy + 1) * jnp.int32(cl), jnp.int32(L)
+            )
+            pieces = [
+                (lo, 0, hl),
+                (iy * jnp.int32(cl), hl, cl),
+                (hi, hl + cl, hl),
+            ]
+        else:
+            pieces = [(None, None, None)]  # full rows
+
+        def piece_src(off, n, pi):
+            l0, _, nl_ = pieces[pi]
+            if lane_chunks is None:
+                return srcr(off, n)
+            return srcf(off, n, l0, nl_)
+
+        def piece_dst(r0, n, pi):
+            if lane_chunks is None:
+                return slab.at[buf, :, pl.ds(r0, n), :]
+            _, d0, nl_ = pieces[pi]
+            return slab.at[buf, :, pl.ds(r0, n), pl.ds(d0, nl_)]
+
         if padded_src:
             off = ii * jnp.int32(tx)
-            return [
-                pltpu.make_async_copy(
-                    src(off, tx + 2 * halo),
-                    slab.at[buf],
-                    sem.at[buf, jnp.int32(0)],
-                )
+            rows = [(off, tx + 2 * halo, 0)]
+        else:
+            # offsets computed in 8-row units then scaled so Mosaic
+            # can prove (8,128)-tile alignment of the HBM slices
+            nx8, tx8, h8 = nx_loc // 8, tx // 8, halo // 8
+            base8 = ii * jnp.int32(tx8)
+            lo_r = jax.lax.rem(
+                base8 - jnp.int32(h8) + jnp.int32(nx8), jnp.int32(nx8)
+            ) * jnp.int32(8)
+            hi_r = jax.lax.rem(
+                base8 + jnp.int32(tx8), jnp.int32(nx8)
+            ) * jnp.int32(8)
+            base = base8 * jnp.int32(8)
+            rows = [
+                (lo_r, halo, 0),
+                (base, tx, halo),
+                (hi_r, halo, halo + tx),
             ]
-        # offsets computed in 8-row units then scaled so Mosaic can
-        # prove (8,128)-tile alignment of the HBM slices
-        nx8, tx8, h8 = nx_loc // 8, tx // 8, halo // 8
-        base8 = ii * jnp.int32(tx8)
-        lo = jax.lax.rem(
-            base8 - jnp.int32(h8) + jnp.int32(nx8), jnp.int32(nx8)
-        ) * jnp.int32(8)
-        hi = jax.lax.rem(
-            base8 + jnp.int32(tx8), jnp.int32(nx8)
-        ) * jnp.int32(8)
-        base = base8 * jnp.int32(8)
-        return [
-            pltpu.make_async_copy(
-                src(lo, halo),
-                slab.at[buf, :, pl.ds(0, halo), :],
-                sem.at[buf, jnp.int32(0)],
-            ),
-            pltpu.make_async_copy(
-                src(base, tx),
-                slab.at[buf, :, pl.ds(halo, tx), :],
-                sem.at[buf, jnp.int32(1)],
-            ),
-            pltpu.make_async_copy(
-                src(hi, halo),
-                slab.at[buf, :, pl.ds(halo + tx, halo), :],
-                sem.at[buf, jnp.int32(2)],
-            ),
-        ]
+        copies = []
+        ci = 0
+        for off, n, r0 in rows:
+            for pi in range(lane_pieces):
+                copies.append(
+                    pltpu.make_async_copy(
+                        piece_src(off, n, pi),
+                        piece_dst(r0, n, pi),
+                        sem.at[buf, jnp.int32(ci)],
+                    )
+                )
+                ci += 1
+        return copies
 
-    def db_prologue(inputs, b, i):
-        """inputs: list of (ref, slab, sem); (b, i) from program ids.
-        Starts the current flat tile's copies on the first iteration,
-        prefetches the next tile's into the other buffer, waits for
-        the current tile, and returns the buffer index holding it."""
-        fi = jnp.int32(i) if not B else (
+    def db_prologue(inputs, b, i, iy=None):
+        """inputs: list of (ref, slab, sem); (b, i[, iy]) from program
+        ids.  Starts the current flat tile's copies on the first
+        iteration, prefetches the next tile's into the other buffer,
+        waits for the current tile, and returns the buffer index
+        holding it."""
+        fx = jnp.int32(i) if not B else (
             jnp.int32(b) * jnp.int32(ntiles) + jnp.int32(i)
+        )
+        fi = fx if lane_chunks is None else (
+            fx * jnp.int32(nlt) + jnp.int32(iy)
         )
         buf = jax.lax.rem(fi, jnp.int32(nbuf))
 
@@ -315,17 +374,17 @@ def pallas_mesh_ok(mesh, grid):
         return False
     halo = _halo_rows(grid.stencil_width)
     if grid.dim == 3:
-        # the 3D tile chooser shrinks further than the 2D one (VMEM
-        # budget over the folded lane extent), so the halo-fits-tile
-        # check must use it — otherwise a wide-stencil sharded 3D
+        # the 3D tile planner shrinks further than the 2D chooser
+        # (VMEM budget over the folded lane extent, lane tiling), so
+        # the feasibility check must use it — otherwise a sharded 3D
         # build would pass this gate and fail in make_pallas_kernels_3d
         # instead of falling back to the XLA path
-        from .pallas_stencil3d import _tile_rows3d
+        from .pallas_stencil3d import _tile_plan3d
 
         ny, nz = (int(n) for n in grid.nps[1:])
-        return halo <= _tile_rows3d(
-            nx // n_x, grid.dof, ny * nz, halo=halo
-        )
+        return _tile_plan3d(
+            nx // n_x, grid.dof, ny, nz, grid.stencil_width
+        ) is not None
     return halo <= _tile_rows(nx // n_x)
 
 

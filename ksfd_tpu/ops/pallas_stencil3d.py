@@ -26,6 +26,19 @@ layout:
 This removes the 4D tiling constraint entirely and needs NO y/z halo
 materialization (less HBM traffic than the 2D design needs per row).
 
+Large cross-sections (VERDICT r3 #3: the old builder required the
+WHOLE folded extent L = ny*nz resident per slab, capping fused 3D at
+L ~ 20k and silently dropping 256^3-class grids to the 7.4x-slower
+XLA path): the lane axis is now TILED too.  The tile grid becomes
+(x-tile, lane-tile); each tile's slab holds cl = ny_t*nz body lanes
+plus hl = sw*nz halo lanes per side, fetched as three lane pieces per
+x-chunk by the shared pipeline (periodic wrap in y = the mod-L piece
+offsets, no pad copy).  In-chunk y rolls stay correct because every
+kept (interior) lane is >= hl lanes from the chunk edge, and the
+z-mask arithmetic is invariant because cl and hl are multiples of nz.
+Lane-read amplification is (cl + 2*hl)/cl — the plan chooser
+minimizes the combined row/lane amplification under the VMEM budget.
+
 Provides the same kernel trio as 2D — rhs (f32 fast mode), jvp (the
 sweep-chain W operator), delta (stage-RHS increments via the
 cancellation-free forms of ops/delta.py) — with identical calling
@@ -64,23 +77,76 @@ _N_TEMPS = 24  # stack-frame allowance: slab-sized kernel temporaries
                # 16.39 MB frame (1024 lanes, 144-row slabs)
 
 
-def _vmem_estimate(dof, tx, L, n_inputs, halo=8):
+def _vmem_estimate(dof, tx, lanes, n_inputs, halo=8):
+    """Worst-kernel VMEM bytes for a slab of ``lanes`` lane extent
+    (the full folded L, or a lane chunk cl + 2*hl)."""
     slab_rows = tx + 2 * halo
-    slabs = n_inputs * dof * slab_rows * L * 4 * NBUF
-    out = dof * tx * L * 4
-    temps = _N_TEMPS * slab_rows * L * 4
+    slabs = n_inputs * dof * slab_rows * lanes * 4 * NBUF
+    out = dof * tx * lanes * 4
+    temps = _N_TEMPS * slab_rows * lanes * 4
     return slabs + out + temps
 
 
+def _tile_plan3d(nx_loc, dof, ny, nz, sw, tile_x=64):
+    """(tx, ny_t, halo) plan for the 3D builder, or None.
+
+    tx: x-tile rows — a multiple of 8 dividing nx_loc (the
+    make_slab_pipeline contract; plain halving used to produce
+    12/10-row tiles and crash the builder).  ny_t: y rows per lane
+    tile (ny_t == ny means the lane axis stays untiled — the original
+    full-L layout).  The chooser enumerates feasible (tx, ny_t) pairs
+    under the VMEM budget and picks the one minimizing the combined
+    halo read amplification ((tx+2*halo)/tx) * ((cl+2*hl)/cl),
+    tie-breaking toward larger tiles.
+    """
+    nx_loc, ny, nz, sw = int(nx_loc), int(ny), int(nz), int(sw)
+    if nx_loc % 8:
+        return None
+    halo = _halo_rows(sw)
+    L = ny * nz
+    if L % 128:
+        return None
+    start = max(8, min(int(tile_x), nx_loc) // 8 * 8)
+    txs = [
+        tx for tx in range(start, 7, -8)
+        if nx_loc % tx == 0 and tx >= halo
+    ]
+    if not txs:
+        return None
+    # untiled lane axis first: zero lane amplification
+    for tx in txs:
+        if _vmem_estimate(dof, tx, L, 3, halo) <= _VMEM_BUDGET:
+            return (tx, ny, halo)
+    # lane tiling: hl = sw*nz halo lanes must be 128-aligned (lane
+    # piece offsets are multiples of gcd(cl, hl))
+    hl = sw * nz
+    if hl % 128:
+        return None
+    best = None
+    for ny_t in range(ny - 1, 0, -1):
+        if ny % ny_t:
+            continue
+        cl = ny_t * nz
+        if cl % 128 or hl > cl:
+            continue
+        lanes = cl + 2 * hl
+        for tx in txs:
+            if _vmem_estimate(dof, tx, lanes, 3, halo) > _VMEM_BUDGET:
+                continue
+            amp = ((tx + 2.0 * halo) / tx) * ((cl + 2.0 * hl) / cl)
+            key = (amp, -tx, -ny_t)
+            if best is None or key < best[0]:
+                best = (key, (tx, ny_t, halo))
+            break  # larger tx under budget dominates smaller ones
+    return best[1] if best else None
+
+
 def _tile_rows3d(nx_loc, dof, L, tile_x=64, halo=8):
-    """The x-tile row count the 3D builder will pick: the largest
-    multiple of 8 that divides nx_loc, is <= tile_x, and fits the
-    worst kernel (3 double-buffered input slabs) in the VMEM budget.
-    Returns 0 when no such tile exists (callers route the grid to the
-    XLA path) — every candidate honors make_slab_pipeline's
-    tx % 8 == 0 contract, unlike plain halving, which on
-    nx_loc = 24/40/48 with large L produced tx = 12/10/12 and crashed
-    the builder's alignment assertion."""
+    """Back-compat row-count probe used by pallas_mesh_ok: the x-tile
+    rows of the plan (0 when no plan exists).  L is the folded ny*nz;
+    the lane split is inferred assuming nz divides gcd-friendly — the
+    full planner is _tile_plan3d, which callers with (ny, nz) in hand
+    should prefer."""
     nx_loc = int(nx_loc)
     if nx_loc % 8:
         return 0
@@ -96,8 +162,8 @@ def _tile_rows3d(nx_loc, dof, L, tile_x=64, halo=8):
 def pallas3d_available(grid, ops=None):
     """3D fused kernels: TPU (or forced interpret), plain operators,
     a 128-aligned folded cross-section, 8-row-aligned x extent (the
-    wrap-chunk DMA addresses rows in 8-row units), halo fitting the
-    tile, and VMEM feasibility at the minimum tile."""
+    wrap-chunk DMA addresses rows in 8-row units), and a VMEM-feasible
+    (x-tile, lane-tile) plan."""
     try:
         import jax
 
@@ -109,15 +175,11 @@ def pallas3d_available(grid, ops=None):
             return False
         nx, ny, nz = (int(n) for n in grid.nps)
         sw = 1 + grid.order // 2 if ops is None else ops.sw
-        L = ny * nz
-        if L % 128 or nz <= 2 * sw:
+        if (ny * nz) % 128 or nz <= 2 * sw:
             return False
         if nx % 8:
             return False
-        halo = _halo_rows(sw)
-        tx = _tile_rows3d(nx, grid.dof, L, halo=halo)
-        if tx == 0 or halo > tx:
-            # no VMEM-feasible 8-aligned tile, or stencil too wide
+        if _tile_plan3d(nx, grid.dof, ny, nz, sw) is None:
             return False
         if _interpret_forced():
             return True
@@ -134,11 +196,11 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
 
     Uses the shared double-buffered slab-DMA pipeline (tile i+1's HBM
     fetch overlaps tile i's compute; single-shard sources read
-    UNPADDED via three mod-offset wrap chunks) — the 2D kernels'
-    design, which bought them ~1.4x (docs/PERF.md).  The default tile
-    is 64 rows (not the 2D 128): the folded lane extent L = ny*nz is
-    large, so the halo-amortization sweet spot sits at smaller tiles,
-    and _tile_rows3d shrinks further to fit the VMEM budget."""
+    UNPADDED via mod-offset wrap chunks) — the 2D kernels' design,
+    which bought them ~1.4x (docs/PERF.md).  The default tile is 64
+    rows (not the 2D 128): the folded lane extent is large, so the
+    halo-amortization sweet spot sits at smaller tiles; _tile_plan3d
+    shrinks rows and/or tiles the lane axis to fit the VMEM budget."""
     from types import SimpleNamespace
 
     grid = ops.grid
@@ -166,28 +228,34 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
         )
     dof = ops.nligands + 1
     sw = ops.sw
-    # x halo rows rounded up to the 8-row DMA alignment unit (the
-    # wrap-chunk offsets are computed in 8-row units, cf. 2D)
-    halo = _halo_rows(sw)
-    tx = _tile_rows3d(nx_loc, dof, L, tile_x=tile_x, halo=halo)
-    if tx == 0 or halo > tx:
+    plan = _tile_plan3d(nx_loc, dof, ny, nz, sw, tile_x=tile_x)
+    if plan is None:
         raise ValueError(
-            "3D pallas kernels need a VMEM-feasible tile with halo "
-            "(%d) <= tile rows (%d); pallas3d_available routes such "
-            "grids to the XLA path" % (halo, tx)
+            "3D pallas kernels: no VMEM-feasible (x-tile, lane-tile) "
+            "plan for nx_loc=%d, (ny, nz)=(%d, %d); "
+            "pallas3d_available routes such grids to the XLA path"
+            % (nx_loc, ny, nz)
         )
+    tx, ny_t, halo = plan
     ntiles = nx_loc // tx
+    # lane tiling (ny_t < ny): cl body lanes + hl halo lanes per side
+    nlt = ny // ny_t
+    cl = ny_t * nz
+    hl = sw * nz if nlt > 1 else 0
+    clh = cl + 2 * hl  # slab lane extent
     # member batching (see pallas_stencil.py — same scheme)
     B = int(batch)
     if B and n_shards > 1:
         raise ValueError("batched kernels cannot also be mesh-sharded")
-    kgrid = (B, ntiles) if B else (ntiles,)
+    kgrid = (B, ntiles, nlt) if B else (ntiles, nlt)
     if B:
-        pid = lambda: (pl.program_id(0), pl.program_id(1))
+        pid = lambda: (
+            pl.program_id(0), pl.program_id(1), pl.program_id(2),
+        )
         scv = lambda sc_ref, b, j: sc_ref[b, j]
         oix = lambda f: (0, f)
     else:
-        pid = lambda: (None, pl.program_id(0))
+        pid = lambda: (None, pl.program_id(0), pl.program_id(1))
         scv = lambda sc_ref, b, j: sc_ref[j]
         oix = lambda f: (f,)
 
@@ -196,11 +264,12 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
     _pipe, nchunks = make_slab_pipeline(
         nx_loc=nx_loc, tx=tx, halo=halo, ntiles=ntiles, B=B,
         padded_src=padded_src, nbuf=NBUF,
+        lane_chunks=(nlt, cl, hl, L) if nlt > 1 else None,
     )
 
     def _db_prologue(inputs):
-        b, i = pid()
-        return _pipe(inputs, b, i)
+        b, i, iy = pid()
+        return _pipe(inputs, b, i, iy)
     cs1 = [deriv_coeffs(1, sw, ops.spacing[d]) for d in range(3)]
     cs2 = [deriv_coeffs(2, sw, ops.spacing[d]) for d in range(3)]
     rhomin = np.float32(ops.rhomin)
@@ -212,22 +281,36 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
     lig = ops._lig_coeffs
 
     ix = slice(halo, halo + tx)
+    # interior lane slice of a (tx, clh) tile value (identity when
+    # the lane axis is untiled)
+    il = (
+        (lambda a: a)
+        if hl == 0
+        else (lambda a: a[:, hl:hl + cl])
+    )
 
     def _zid(rows):
         # lane's z index within its (y) row — static, CSE'd by Mosaic.
         # Strictly i32 end to end (lax.rem, i32 literal): jnp's `%`
         # would promote through Python-int operands to i64 under x64,
         # and Mosaic's i64 convert lowering recurses unboundedly.
+        # Valid for lane chunks too: cl and hl are multiples of nz,
+        # so position p in the chunk has z = p % nz exactly.
         idx = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
         return jax.lax.rem(idx, jnp.int32(nz))
 
     def _d(slab, axis, cs):
         """Derivative of the tile interior along one axis.
 
-        slab: (tx + 2*halo, L) folded field.  x via static sublane
+        slab: (tx + 2*halo, clh) folded field.  x via static sublane
         slices; y via flat lane rolls (stride nz); z via the masked
         two-roll periodic shift described in the module docstring.
-        """
+        Lane rolls use the chunk extent as modulus: every interior
+        lane sits >= hl lanes from the chunk edge (hl >= sw*nz >=
+        nz + sw, the largest shift), so the chunk-cyclic wrap never
+        reaches a kept lane; the untiled case (clh == L) wraps
+        periodically, which IS the y boundary condition."""
+        lanes = slab.shape[-1]
         acc = None
         rows = None if axis == 0 else slab[ix, :]
         for j in range(-sw, sw + 1):
@@ -238,16 +321,17 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
                 term = c * slab[halo + j : halo + j + tx, :]
             elif axis == 1:
                 term = c * pltpu.roll(
-                    rows, jnp.int32((-j * nz) % L), axis=1
+                    rows, jnp.int32((-j * nz) % lanes), axis=1
                 )
             else:
-                a = pltpu.roll(rows, jnp.int32((-j) % L), axis=1)
+                a = pltpu.roll(rows, jnp.int32((-j) % lanes), axis=1)
                 if j > 0:
                     b = pltpu.roll(rows, jnp.int32(nz - j), axis=1)
                     w = jnp.where(_zid(rows) < jnp.int32(nz - j), a, b)
                 else:
                     b = pltpu.roll(
-                        rows, jnp.int32((L - nz - j) % L), axis=1
+                        rows, jnp.int32((lanes - nz - j) % lanes),
+                        axis=1,
                     )
                     w = jnp.where(_zid(rows) >= jnp.int32(-j), a, b)
                 term = c * w
@@ -283,7 +367,7 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
         # sc layout matches the 2D kernel: [t, means..., G_mean,
         # reaction balances...] (f64-computed outside; centering
         # removes the catastrophic f32 cancellation on O(1e4) fields)
-        b, i = pid()
+        b, i, iy = pid()
         buf = _db_prologue([(u_ref, slab, sem)])
         t = scv(sc_ref, b, 0)
         fields = groom_slab(slab[buf])
@@ -291,10 +375,12 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
         G = G_fn(rho, *Us, t)
         Gc = G - scv(sc_ref, b, 1 + dof)
         rho_c = rho - scv(sc_ref, b, 1)
-        o_ref[oix(0)] = graddot(rho_c, Gc) + rho[ix, :] * lap(Gc)
+        o_ref[oix(0)] = il(
+            graddot(rho_c, Gc) + rho[ix, :] * lap(Gc)
+        )
         for l in range(dof - 1):
             Uc = Us[l] - scv(sc_ref, b, 2 + l)
-            o_ref[oix(1 + l)] = (
+            o_ref[oix(1 + l)] = il(
                 -lig[l]["gamma"](t) * Uc[ix, :]
                 + lig[l]["s"](t) * rho_c[ix, :]
                 + scv(sc_ref, b, 2 + dof + l)
@@ -331,32 +417,32 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
         return rows
 
     def jvp_kernel(t_ref, u_ref, v_ref, o_ref, slab, vslab, sem, vsem):
-        b, i = pid()
+        b, i, iy = pid()
         buf = _db_prologue([(u_ref, slab, sem), (v_ref, vslab, vsem)])
         rows = _jvp_rows(scv(t_ref, b, 0), slab[buf], vslab[buf])
         for f in range(dof):
-            o_ref[oix(f)] = rows[f]
+            o_ref[oix(f)] = il(rows[f])
 
     def resid_kernel(
         sc_ref, u_ref, v_ref, b_ref, o_ref, slab, vslab, sem, vsem
     ):
         # fused Richardson residual (see the 2D resid_kernel);
         # sc = [t, shift]; b is an auto-blocked VMEM tile
-        b, i = pid()
+        b, i, iy = pid()
         buf = _db_prologue([(u_ref, slab, sem), (v_ref, vslab, vsem)])
         shift = scv(sc_ref, b, 1)
         vval = vslab[buf]
         rows = _jvp_rows(scv(sc_ref, b, 0), slab[buf], vval)
         for f in range(dof):
             v_c = vval[f][ix, :]
-            o_ref[oix(f)] = b_ref[oix(f)] - shift * v_c + rows[f]
+            o_ref[oix(f)] = b_ref[oix(f)] - il(shift * v_c - rows[f])
 
     def delta_kernel(
         sc_ref, u_ref, d_ref, s_ref, o_ref, slab, dslab, sslab,
         sem, dsem, ssem,
     ):
         # see the 2D delta_kernel derivation (pallas_stencil.py)
-        b, i = pid()
+        b, i, iy = pid()
         buf = _db_prologue([
             (u_ref, slab, sem), (d_ref, dslab, dsem), (s_ref, sslab, ssem),
         ])
@@ -371,14 +457,14 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
         dG = G_delta_fn(rho0, *Us0, drho, *dUs, *f1, t)
         Gs = G0c + dG
         rho0c = rho0 - scv(sc_ref, b, 1)
-        o_ref[oix(0)] = (
+        o_ref[oix(0)] = il(
             graddot(drho, Gs)
             + graddot(rho0c, dG)
             + drho[ix, :] * lap(Gs)
             + rho0[ix, :] * lap(dG)
         )
         for l in range(dof - 1):
-            o_ref[oix(1 + l)] = (
+            o_ref[oix(1 + l)] = il(
                 -lig[l]["gamma"](t) * dUs[l][ix, :]
                 + lig[l]["s"](t) * drho[ix, :]
                 + lig[l]["D"](t) * lap(dUs[l])
@@ -416,16 +502,17 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
     if B:
         out_shape = jax.ShapeDtypeStruct((B, dof, nx_loc, L), jnp.float32)
         out_spec = pl.BlockSpec(
-            (1, dof, tx, L), lambda b, i, t: (b, i * 0, i, i * 0),
+            (1, dof, tx, cl),
+            lambda b, i, iy, t: (b, i * 0, i, iy),
             memory_space=pltpu.VMEM,
         )
     else:
         out_shape = jax.ShapeDtypeStruct((dof, nx_loc, L), jnp.float32)
         out_spec = pl.BlockSpec(
-            (dof, tx, L), lambda i, t: (i * 0, i, i * 0),
+            (dof, tx, cl), lambda i, iy, t: (i * 0, i, iy),
             memory_space=pltpu.VMEM,
         )
-    slab_t = pltpu.VMEM((NBUF, dof, tx + 2 * halo, L), jnp.float32)
+    slab_t = pltpu.VMEM((NBUF, dof, tx + 2 * halo, clh), jnp.float32)
     sems_t = pltpu.SemaphoreType.DMA((NBUF, nchunks))
     # sharded sources arrive ppermute-padded; single-shard/batched
     # sources are read unpadded (wrap chunks), cf. the 2D builder
@@ -572,4 +659,6 @@ def make_pallas_kernels_3d(ops, tile_x=64, interpret=False, mesh=None,
             rhs=rhs_sharded, jvp=jvp_sharded, delta=delta_sharded,
             resid=resid_sharded,
         ),
+        tile_plan=dict(tx=tx, ny_t=ny_t, halo=halo, nlt=nlt,
+                       cl=cl, hl=hl),
     )

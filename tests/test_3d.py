@@ -301,17 +301,104 @@ def test_tile_rows3d_alignment_contract():
     assert _tile_rows3d(20, 3, 2048, halo=8) == 0
 
 
-def test_pallas3d_available_vmem_infeasible_routes_to_xla():
-    """A grid whose folded cross-section cannot fit any aligned tile
-    in the VMEM budget must report unavailable (XLA fallback), not
-    crash the kernel builder."""
-    from ksfd_tpu.ops.pallas_stencil3d import pallas3d_available
+def test_pallas3d_available_vmem_infeasible_routes_to_xla(monkeypatch):
+    """A grid whose folded cross-section fits no (x-tile, lane-tile)
+    plan must report unavailable (XLA fallback), not crash the kernel
+    builder; big-but-alignable cross-sections are now served by lane
+    tiling (VERDICT r3 #3)."""
+    from ksfd_tpu.ops.pallas_stencil3d import (
+        _tile_plan3d, pallas3d_available,
+    )
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
 
     ps = SolutionParameters(make_clargs(params=PARAMS_3D))
-    # 24 x 128 x 256: L = 32768 folded lanes — beyond the budget at
-    # the minimum tile; nx=24 also exercises the non-power-of-two
-    # divisor path of the chooser
+    # 24 x 128 x 256 (L = 32768): beyond the full-residency budget,
+    # but lane-tileable (sw*nz = 512 is 128-aligned) — available
     grid = Grid(dim=3, width=1, height=1, depth=1,
                 nx=24, ny=128, nz=256, dof=2, order=3)
     ops = PDEOperators(ps, grid)
-    assert not pallas3d_available(grid, ops)
+    assert pallas3d_available(grid, ops)
+    tx, ny_t, halo = _tile_plan3d(24, 2, 128, 256, 2)
+    assert ny_t < 128 and tx % 8 == 0 and 24 % tx == 0
+
+    # 24 x 512 x 48 (L = 24576): full residency is over budget AND
+    # the lane halo sw*nz = 96 is not 128-aligned — unavailable
+    grid2 = Grid(dim=3, width=1, height=1, depth=1,
+                 nx=24, ny=512, nz=48, dof=2, order=3)
+    ops2 = PDEOperators(ps, grid2)
+    assert not pallas3d_available(grid2, ops2)
+
+
+def test_pallas3d_lane_tiled_matches_xla(monkeypatch):
+    """Lane-tiled 3D kernels (VERDICT r3 #3: cross-sections too large
+    for full-L residency) must match the XLA operators like the
+    untiled ones, including periodic wraparound in y through the
+    lane-halo DMA pieces."""
+    from ksfd_tpu.ops import PDEOperators
+    from ksfd_tpu.ops.pallas_stencil import (
+        make_pallas_kernels, pallas_available,
+    )
+    from ksfd_tpu.ops.pallas_stencil3d import (
+        _VMEM_BUDGET, make_pallas_kernels_3d,
+    )
+
+    monkeypatch.setenv("KSFD_PALLAS_INTERPRET", "1")
+    # force lane tiling on a small test grid by shrinking the VMEM
+    # budget the planner fits into (a real 256^3 is too slow for
+    # interpret mode)
+    import ksfd_tpu.ops.pallas_stencil3d as p3d
+
+    # lane tiling needs sw*nz % 128 == 0 (nz=64 at sw=2) and pays off
+    # only when the chunk+halo lanes undercut the full folded extent;
+    # a 2 MB budget makes full-L (L=1024 lanes) infeasible while the
+    # ny_t=2 chunk (128 + 2*128 lanes) fits
+    monkeypatch.setattr(p3d, "_VMEM_BUDGET", 2_000_000)
+    ps = SolutionParameters(make_clargs(params=PARAMS_3D))
+    grid = Grid(dim=3, width=1, height=1, depth=1,
+                nx=16, ny=16, nz=64, dof=2, order=3)
+    ops = PDEOperators(ps, grid)
+    assert pallas_available(grid, ops)
+    k = make_pallas_kernels_3d(ops, interpret=True)
+    assert k.tile_plan["nlt"] > 1, k.tile_plan  # lane tiling engaged
+    assert k.tile_plan["hl"] % 128 == 0
+
+    rng = np.random.default_rng(2)
+    x = np.arange(grid.nx) / grid.nx
+    X, Y, Z = np.meshgrid(
+        x,
+        np.arange(grid.ny) / float(grid.ny),
+        np.arange(grid.nz) / float(grid.nz),
+        indexing="ij",
+    )
+    u = np.stack([
+        9000.0 + 800 * np.sin(2 * np.pi * (X + 2 * Y - Z))
+        + 50 * rng.standard_normal(X.shape),
+        9000.0 + 500 * np.cos(2 * np.pi * (X - Y)),
+    ])
+    u0 = ops.groom(jnp.asarray(u))
+    v = jnp.asarray(rng.standard_normal(grid.Vshape))
+
+    ref = np.asarray(ops.rhs(u0, 0.5))
+    out = np.asarray(k.rhs(u0.astype(jnp.float32), 0.5))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 5e-4
+
+    jref = np.asarray(ops.jacobian_action(u0, 0.5, v))
+    jout = np.asarray(k.jvp(u0, v, 0.5))
+    assert np.abs(jout - jref).max() / np.abs(jref).max() < 5e-4
+
+    d = jnp.asarray(50.0 * rng.standard_normal(grid.Vshape))
+    ug = ops.groom(u0 + d)
+    dref = np.asarray(ops.rhs(ug, 0.5) - ops.rhs(u0, 0.5))
+    dout = np.asarray(k.delta(u0, ug - u0, ug, 0.5))
+    assert np.abs(dout - dref).max() / np.abs(dref).max() < 3e-6
+
+    # roll-equivariance along y exercises the lane-halo wrap pieces
+    u32 = u0.astype(jnp.float32)
+    base = np.asarray(k.rhs(u32, 0.0))
+    shifted = jnp.roll(u32, 3, axis=2)
+    out_s = np.asarray(k.rhs(shifted, 0.0))
+    np.testing.assert_allclose(
+        out_s, np.roll(base, 3, axis=2),
+        rtol=1e-4, atol=1e-4 * np.abs(base).max(),
+    )
