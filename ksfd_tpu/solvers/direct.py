@@ -133,6 +133,9 @@ def extract_w_sparse(w_op, nps, dof, sw, *, verify=True,
     rows_acc, cols_acc, vals_acc = [], [], []
     w_vmapped = w_batch if w_batch is not None else jax.jit(jax.vmap(w_op))
     out_dtype = None
+    deltas = np.asarray(offsets, dtype=np.int64)       # (noff, dim)
+    noff = len(deltas)
+    nps_arr = np.asarray(nps, dtype=np.int64)
     for start in range(0, nphases, phases_per_chunk):
         chunk = phase_grid[start:start + phases_per_chunk]
         nc = len(chunk)
@@ -147,23 +150,28 @@ def extract_w_sparse(w_op, nps, dof, sw, *, verify=True,
         WP = np.asarray(w_vmapped(jnp.asarray(P)))
         out_dtype = WP.dtype
         for ci, ph in enumerate(chunk):
-            # columns of this phase: points p ≡ ph (mod strides)
+            # columns of this phase: points p ≡ ph (mod strides).
+            # Gathers/scatters are vectorized over (offset, point,
+            # field) at once — the python-per-offset-per-field loop
+            # was ~40% of the LU step time (VERDICT r3 #9).
             mask = np.all(coords % strides == ph, axis=1)
             pcols = coords[mask]                       # (npc, dim)
             lin_p = pcols @ lin_strides                # (npc,)
-            for delta in offsets:
-                q = (pcols + delta) % nps              # periodic rows
-                lin_q = q @ lin_strides
-                for g in range(dof):
-                    resp = WP[ci * dof + g]            # (dof, *nps)
-                    for f in range(dof):
-                        vals = resp[(f,) + tuple(q.T)]
-                        nz = vals != 0.0
-                        if not nz.any():
-                            continue
-                        rows_acc.append(lin_q[nz] * dof + f)
-                        cols_acc.append(lin_p[nz] * dof + g)
-                        vals_acc.append(vals[nz])
+            npc = len(pcols)
+            q = (pcols[None, :, :] + deltas[:, None, :]) % nps_arr
+            qf = q.reshape(-1, dim)                    # (noff*npc, dim)
+            lin_q = qf @ lin_strides                   # (noff*npc,)
+            col_lin = np.tile(lin_p, noff)             # seed per entry
+            idx = tuple(qf.T)
+            for g in range(dof):
+                resp = WP[ci * dof + g]                # (dof, *nps)
+                vals = resp[(slice(None),) + idx]      # (dof, noff*npc)
+                f_idx, e_idx = np.nonzero(vals)
+                if not len(f_idx):
+                    continue
+                rows_acc.append(lin_q[e_idx] * dof + f_idx)
+                cols_acc.append(col_lin[e_idx] * dof + g)
+                vals_acc.append(vals[f_idx, e_idx])
     rows = np.concatenate(rows_acc) if rows_acc else np.zeros(0, int)
     cols = np.concatenate(cols_acc) if cols_acc else np.zeros(0, int)
     vals = np.concatenate(vals_acc) if vals_acc else np.zeros(0)
