@@ -96,11 +96,19 @@ class EnsembleSolver:
         hmin=None,
         rng_key=None,
         block_steps=1,
+        member_offset=0,
     ):
         """block_steps > 1 (fixed-dt runs only): fuse that many steps
         per member into one vmapped device execution between monitor
         calls — the scalar Solver's block mode, essential over a
-        high-dispatch-latency device link."""
+        high-dispatch-latency device link.
+
+        member_offset: GLOBAL index of this solver's first member.
+        Per-member noise key chains fold rng_key with the global
+        member index, so a multi-process ensemble (each process
+        integrating its own member slab, ksfdsolver.run_ensemble)
+        reproduces the single-process run's per-member trajectories
+        bit-exactly."""
         self.ops = ops
         self.ps = ops.ps
         self.numerics = numerics or NumericsOptions()
@@ -125,6 +133,7 @@ class EnsembleSolver:
             )
         self.tableau = get_tableau(self.numerics.ts_type)
         self.block_steps = int(block_steps)
+        self.member_offset = int(member_offset)
         # The vmapped step functions are built lazily in solve(): on
         # unsharded members the fused Pallas kernels batch through
         # their jax.custom_batching rules (pallas_stencil).  A SHARDED
@@ -651,7 +660,7 @@ class EnsembleSolver:
         self._rejstreak = np.zeros(N, dtype=int)
         self._keys = jax.vmap(jax.random.fold_in)(
             jnp.broadcast_to(self.rng_key, (N,) + self.rng_key.shape),
-            jnp.arange(N),
+            jnp.arange(N) + self.member_offset,
         )
         lastvart = np.full(N, self.t0)
         conserve = self.ps.params0["conserve_worms"]

@@ -150,7 +150,19 @@ def run_ensemble(clargs, ps, grid, ops, numerics):
     devices as pure data parallelism when N divides the device count.
     Member i saves to ``<save>_m<i>`` — a standard TimeSeries readable
     by Solution/moviemaker/tsmerge.  No reference counterpart: there,
-    an ensemble is N separate cluster jobs (one options file each).
+    an ensemble is N separate cluster jobs (one options file each,
+    e.g. /root/reference/options84s16.sh submitting one SLURM job per
+    configuration).
+
+    Multi-process runs (jax.process_count() > 1) slab the members
+    contiguously over the processes: members are communication-free
+    data parallelism, so process p integrates its own slab on its own
+    local devices with zero collectives, and writes its members'
+    series itself.  Per-member ICs (Generator(seed + global_i)) and
+    noise key chains (fold_in(key, global_i), EnsembleSolver
+    member_offset) are derived from the GLOBAL member index, so every
+    member's trajectory and series file are bit-identical to the
+    single-process run's (tests/test_distributed.py).
     """
     import time as _time
 
@@ -166,31 +178,37 @@ def run_ensemble(clargs, ps, grid, ops, numerics):
             "--ensemble supports fresh starts only "
             "(no --resume/--restart/--check)"
         )
-    if jax.process_count() > 1:
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if N % nproc:
         raise KSFDException(
-            "--ensemble is single-process (members shard over this "
-            "process's devices)"
+            "--ensemble=%d members must divide evenly over %d "
+            "processes (members slab contiguously per process)"
+            % (N, nproc)
         )
+    nloc = N // nproc
+    m0 = pid * nloc  # first GLOBAL member index of this process
     members = []
     t0 = float(ps.t0)
-    for i in range(N):
+    for i in range(m0, m0 + nloc):
         Generator(seed=clargs.seed + i)
         u0, t0 = start_values(clargs, grid, ps)
         members.append(np.asarray(u0))
     U0 = jnp.asarray(np.stack(members))
-    ndev = len(jax.devices())
-    if ndev > 1 and N % ndev == 0:
-        U0 = shard_members(U0)
+    ldev = jax.local_devices()
+    if len(ldev) > 1 and nloc % len(ldev) == 0:
+        U0 = shard_members(U0, devices=ldev)
     maxsteps = 1 if clargs.onestep else int(ps.params0["maxsteps"])
     es = EnsembleSolver(
         ops, numerics, t0=t0, dt=float(ps.params0["dt"]),
         tmax=float(ps.params0["tmax"]), maxsteps=maxsteps,
         rtol=float(ps.params0["rtol"]), atol=float(ps.params0["atol"]),
         rng_key=jax.random.PRNGKey(clargs.seed),
+        member_offset=m0,
     )
     series = []
     if clargs.save:
-        for i in range(N):
+        for i in range(m0, m0 + nloc):
             ts_i = TimeSeries(
                 "%s_m%d" % (clargs.save, i), grid=grid, mode="w",
                 retries=clargs.series_retries,
@@ -201,7 +219,7 @@ def run_ensemble(clargs, ps, grid, ops, numerics):
             ts_i.flush()
             series.append(ts_i)
     every = max(1, int(clargs.save_every))
-    lastk = [None] * N
+    lastk = [None] * nloc
 
     def store_members(ks, ts, U, force=False):
         Uh = np.asarray(U)
@@ -221,11 +239,13 @@ def run_ensemble(clargs, ps, grid, ops, numerics):
             s.temp_close()
             lastk[i] = k
 
+    slab = "" if nproc == 1 else " members %d-%d," % (m0, m0 + nloc - 1)
+
     def ens_print(es_, ks, ts, U):
         print(
-            "clock: %s, steps %d-%d t=[%.6g, %.6g] h=[%.3g, %.3g]"
+            "clock: %s,%s steps %d-%d t=[%.6g, %.6g] h=[%.3g, %.3g]"
             % (
-                _time.strftime("%H:%M:%S"),
+                _time.strftime("%H:%M:%S"), slab,
                 int(np.min(ks)), int(np.max(ks)),
                 float(np.min(ts)), float(np.max(ts)),
                 float(np.min(es_.hs)), float(np.max(es_.hs)),
@@ -265,8 +285,8 @@ def run_ensemble(clargs, ps, grid, ops, numerics):
             s.close()
     if out is not None:
         print(
-            "members = %d, diverged = %d, solve failures = %d"
-            % (N, int(np.sum(out.diverged)),
+            "members = %d%s diverged = %d, solve failures = %d"
+            % (nloc, slab or ",", int(np.sum(out.diverged)),
                int(np.sum(out.snes_failures)))
         )
     return status

@@ -155,6 +155,48 @@ def test_ensemble_noise_streams_differ(prob):
     assert d > 1e-8  # injections actually differed between members
 
 
+def test_ensemble_member_offset_slabs():
+    """member_offset: two slab solvers (members 0-1 and 2-3 of a
+    4-member ensemble) reproduce the full run's per-member
+    trajectories BIT-exactly, noise chains included — the contract the
+    multi-process ensemble mode (ksfdsolver.run_ensemble) rests on."""
+    ps, grid, ops = make_problem(
+        nx=32,
+        extra_params=["variance_rate=1e-6",
+                      "variance_timing_function=t/4"],
+    )
+    base = np.asarray(exact_state(ps, grid, 0.0))
+    rng = np.random.default_rng(3)
+    U0 = np.stack([
+        base * (1.0 + 1e-3 * rng.standard_normal(base.shape))
+        for _ in range(4)
+    ])
+    kw = dict(t0=0.0, dt=1.0, tmax=30.0, maxsteps=40, rtol=1e-6,
+              atol=0.01, rng_key=jax.random.PRNGKey(7))
+    full = EnsembleSolver(ops, NumericsOptions(), **kw).solve(
+        jnp.asarray(U0)
+    )
+    assert not full.diverged.any()
+    for m0 in (0, 2):
+        slab = EnsembleSolver(
+            ops, NumericsOptions(), member_offset=m0, **kw
+        ).solve(jnp.asarray(U0[m0:m0 + 2]))
+        for j in range(2):
+            i = m0 + j
+            assert slab.k[j] == full.k[i]
+            assert float(slab.t[j]) == float(full.t[i])
+            assert np.array_equal(
+                np.asarray(slab.u[j]), np.asarray(full.u[i])
+            ), i
+    # and a WRONG offset must actually change the noise draws
+    # (guards against fold_in silently ignoring the offset)
+    wrong = EnsembleSolver(
+        ops, NumericsOptions(), member_offset=1, **kw
+    ).solve(jnp.asarray(U0[0:2]))
+    d = np.abs(np.asarray(wrong.u[0]) - np.asarray(full.u[0])).max()
+    assert d > 1e-8
+
+
 def _pallas_2d_problem():
     """A Pallas-capable 2D problem + a rough 2-member batch."""
     from helpers import make_clargs, OPTIONS92_PARAMS
