@@ -190,6 +190,68 @@ def main(argv=None):
             file=sys.stderr,
         )
     assert np.isfinite(float(enorm)), "benchmark step diverged"
+
+    # --- adaptive-chunk rate (VERDICT r3 #5): the device-fused
+    # adaptive integrator (-device_loop 1) is the production mode for
+    # stiff phases; regression-track its per-accepted-step rate in the
+    # same driver artifact instead of only in ad-hoc E2E wall clocks.
+    # dt_max is pinned to the bench h so every accept runs at the same
+    # h on the smooth bench state (deterministic accept == attempt
+    # counts, asserted -> a clean slope); the chunk still pays its full
+    # production machinery per step: while-loop control flow, embedded
+    # error estimate + h controller, f0 chaining, and the prebuilt
+    # escalation tier's lax.cond dispatch.
+    import dataclasses
+
+    from ksfd_tpu.solvers import make_adaptive_chunk_fn
+
+    nm_ad = dataclasses.replace(numerics, dt_max=float(args.dt))
+    chunkfn, _ = make_adaptive_chunk_fn(
+        ops, nm_ad, atol=0.01, rtol=1e-6,
+        max_attempts=4 * (args.steps + 4),
+    )
+
+    def run_chunk(up, n):
+        u1, t1, h1, k1, att1, rej1 = chunkfn(up, t, h, 1e30, n)
+        fence(u1, t1)
+        return u1, int(k1), int(att1), bool(rej1)
+
+    ad_uw = {}
+    for nst in (n_small, n_big):  # compile + warm the fence gather
+        u1, k1, att1, rej1 = run_chunk(u, nst)
+        assert k1 == nst and att1 == nst and not rej1, (
+            "adaptive bench state not smooth: accepts=%d attempts=%d "
+            "of %d" % (k1, att1, nst)
+        )
+        ad_uw[nst] = u1
+    ad_times = {n_small: [], n_big: []}
+    ad_outs = {}
+    for rep in range(args.repeats):
+        for nst in (n_small, n_big):
+            pert = 1e-9 * (3 + 2 * rep + (nst == n_big))
+            up = u * (1.0 + pert) + pert
+            fence(up, 0.0)
+            t0 = time.perf_counter()
+            u1, k1, att1, rej1 = run_chunk(up, nst)
+            ad_times[nst].append(time.perf_counter() - t0)
+            assert k1 == nst and att1 == nst, (k1, att1, nst)
+            ad_outs[nst] = u1
+    for nst in (n_small, n_big):
+        assert not bool(jnp.array_equal(ad_outs[nst], ad_uw[nst])), (
+            "adaptive timed output identical to warmup - dedupe "
+            "suspected"
+        )
+    ad_step = (min(ad_times[n_big]) - min(ad_times[n_small])) / (
+        n_big - n_small
+    )
+    ad_rate = dof / ad_step
+    if args.verbose:
+        print(
+            "adaptive chunk: step_time=%.4fs rate=%.3e"
+            % (ad_step, ad_rate),
+            file=sys.stderr,
+        )
+
     result = {
         "metric": "implicit KS step DOF-updates/sec/chip "
                   "(2D %dx%d, 3 dofs, f64, ROS34PW2 + spectral-"
@@ -197,6 +259,15 @@ def main(argv=None):
         "value": round(rate, 1),
         "unit": "DOF-updates/sec/chip",
         "vs_baseline": round(rate / BASELINE_DOF_UPDATES_PER_SEC, 3),
+        "adaptive_chunk": {
+            "metric": "device-fused adaptive chunk DOF-updates/sec/"
+                      "chip (same grid, fixed-h regime)",
+            "value": round(ad_rate, 1),
+            "unit": "DOF-updates/sec/chip",
+            "vs_baseline": round(
+                ad_rate / BASELINE_DOF_UPDATES_PER_SEC, 3
+            ),
+        },
     }
     if fallback_note:
         result["note"] = fallback_note

@@ -5,6 +5,7 @@ from .solver import (
     Solver,
     make_step_fn,
     make_multistep_fn,
+    make_adaptive_chunk_fn,
     route_petsc_direct,
     print_monitor,
     history_monitor,
@@ -23,6 +24,7 @@ __all__ = [
     "Solver",
     "make_step_fn",
     "make_multistep_fn",
+    "make_adaptive_chunk_fn",
     "route_petsc_direct",
     "gmres_fixed",
     "richardson_solve",

@@ -400,3 +400,42 @@ def test_driver_cli_resume_bitexact(tmp_path):
     assert min(int(k) for k in c.ks) >= 3
     a.close()
     c.close()
+
+
+def test_peakstats_counts_and_cli(stored_run, tmp_path):
+    """tools/peakstats.py: periodic peak counting (1D runs, 2D wrap-
+    merged components) + the CLI over a saved series.  The analysis
+    half of the options80 'N sharp peaks' parity claim
+    (/root/reference/options80:6-7)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from peakstats import count_peaks_1d, count_peaks_nd
+    finally:
+        sys.path.pop(0)
+
+    x = np.linspace(0, 1, 256, endpoint=False)
+    base = np.full_like(x, 100.0)
+
+    def bump(c):
+        d = np.mod(x - c + 0.5, 1.0) - 0.5
+        return 2e4 * np.exp(-d * d / 1e-4)
+
+    rho = base + bump(0.1) + bump(0.4) + bump(0.7)
+    assert count_peaks_1d(rho) == 3
+    # one peak straddling the periodic boundary counts ONCE
+    assert count_peaks_1d(base + bump(0.999)) == 1
+    # 2D: 5 spots, one crossing the x edge, wrap-merged
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    r2 = np.full_like(X, 100.0)
+    for cx, cy in [(0.0, 0.3), (0.25, 0.1), (0.6, 0.55),
+                   (0.75, 0.85), (0.2, 0.65)]:
+        dx = np.mod(X - cx + 0.5, 1.0) - 0.5
+        dy = np.mod(Y - cy + 0.5, 1.0) - 0.5
+        r2 += 2e4 * np.exp(-(dx * dx + dy * dy) / 2e-4)
+    assert count_peaks_nd(r2) == 5
+
+    # CLI over a real saved series
+    _, prefix, _, _, _, _ = stored_run
+    r = _run_tool([os.path.join(REPO, "tools/peakstats.py"), prefix])
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "peaks=" in r.stdout
