@@ -102,7 +102,10 @@ def make_banded_step(ops, tab, atol, rtol):
     rhs_jit = jax.jit(ops.rhs)
 
     def step(u, t, h):
-        u = np.asarray(ops.groom(jnp.asarray(u)))
+        from .direct import gather_global, place_like
+
+        u_in = u
+        u = gather_global(ops.groom(jnp.asarray(u)))
         t = float(t)
         h = float(h)
         shift = 1.0 / (h * tab.gamma)
@@ -138,6 +141,6 @@ def make_banded_step(ops, tab, atol, rtol):
             solver.close()
         enorm = float(wlte_norm_delta(jnp.asarray(u1), jnp.asarray(d),
                                       atol, rtol))
-        return jnp.asarray(u1), enorm
+        return place_like(u1, u_in), enorm
 
     return step

@@ -40,7 +40,49 @@ import jax.numpy as jnp
 from ..utils.exceptions import KSFDException
 from .steppers import wlte_norm_delta
 
-__all__ = ["axis_strides", "extract_w_sparse", "make_sparse_step"]
+__all__ = [
+    "axis_strides",
+    "extract_w_sparse",
+    "make_sparse_step",
+    "gather_global",
+    "place_like",
+]
+
+
+def gather_global(u):
+    """Host numpy copy of a possibly MULTI-PROCESS global array.
+
+    The host-side direct solvers (this module + banded_path) assemble
+    and factor the GLOBAL operator; under multi-controller JAX the
+    state's shards are spread over processes and ``np.asarray`` on
+    non-addressable shards raises.  Every process gathers the full
+    state (one all-gather over the process mesh) and then performs the
+    IDENTICAL host factorization/solve — the replicated-host-solve
+    pattern.  Redundant compute, but this tier is a rare rescue/exact
+    path; the reference pays MUMPS's distributed factorization instead
+    (/root/reference/options84 PETSc block), which only wins at scales
+    where the iterative stack is the default here anyway.
+    """
+    if isinstance(u, jax.Array) and not u.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(u, tiled=True))
+    return np.asarray(u)
+
+
+def place_like(u_np, like):
+    """Place replicated host data back with ``like``'s sharding.
+
+    Inverse of gather_global: after the replicated host solve, every
+    process holds the same global numpy result; rebuild a global
+    jax.Array with the INPUT state's sharding so the downstream loop
+    (monitors, next step) sees the same placement it handed in.
+    """
+    if isinstance(like, jax.Array) and not like.is_fully_addressable:
+        return jax.make_array_from_callback(
+            u_np.shape, like.sharding, lambda idx: u_np[idx]
+        )
+    return jnp.asarray(u_np)
 
 
 def axis_strides(nps, sw):
@@ -232,7 +274,8 @@ def make_sparse_step(ops, tab, atol, rtol):
         return jax.vmap(lambda p: shift * p - f_jvp(p))(P)
 
     def step(u, t, h):
-        u = np.asarray(ops.groom(jnp.asarray(u)))
+        u_in = u
+        u = gather_global(ops.groom(jnp.asarray(u)))
         t = float(t)
         h = float(h)
         shift = 1.0 / (h * tab.gamma)
@@ -270,6 +313,6 @@ def make_sparse_step(ops, tab, atol, rtol):
         enorm = float(
             wlte_norm_delta(jnp.asarray(u1), jnp.asarray(d), atol, rtol)
         )
-        return jnp.asarray(u1), enorm
+        return place_like(u1, u_in), enorm
 
     return step

@@ -172,9 +172,11 @@ def test_lu_rescue_respects_dof_cap_and_process_count(monkeypatch):
     monkeypatch.setattr(Solver, "LU_RESCUE_MAX_DOFS", 10)
     assert s._get_exact_step() is None
     monkeypatch.undo()
-    # a multi-process run cannot gather the global state on host
+    # multi-process no longer disqualifies the tier: the step gathers
+    # the global state per process (direct.gather_global) and solves
+    # replicated (tests/test_distributed.py proves the 2-process run)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    assert s._get_exact_step() is None
+    assert s._get_exact_step() is not None
     monkeypatch.undo()
     assert s._get_exact_step() is not None
 
