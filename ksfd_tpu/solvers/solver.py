@@ -61,9 +61,20 @@ def route_petsc_direct(numerics, grid):
     reason = None
     if isinstance(get_tableau(numerics.ts_type), DIRKTableau):
         reason = "DIRK tableau (the direct tier is Rosenbrock-only)"
-    elif grid.n_dofs > Solver.LU_RESCUE_MAX_DOFS:
-        reason = "grid too large to factor on host (%d > %d dofs)" % (
-            grid.n_dofs, Solver.LU_RESCUE_MAX_DOFS,
+    elif grid.n_dofs > Solver.PETSC_ROUTE_MAX_DOFS:
+        # NOTE: deliberately TIGHTER than LU_RESCUE_MAX_DOFS.  The
+        # rescue tier fires rarely (after 8 consecutive iterative
+        # failures), so seconds/step is affordable there; routing the
+        # WHOLE RUN onto host LU is only sane while a factorization
+        # costs less than ~a second — above that the iterative stack
+        # (which plays MUMPS's at-scale role here) wins by orders of
+        # magnitude, e.g. examples/hexagons2d (384²x3: its reference
+        # -pc_type lu block would otherwise turn a ~4-min TPU run
+        # into days).
+        reason = (
+            "grid too large for per-step host factorization "
+            "(%d > %d dofs); the iterative stack plays MUMPS's "
+            "at-scale role" % (grid.n_dofs, Solver.PETSC_ROUTE_MAX_DOFS)
         )
     if reason is not None:
         print(
@@ -1287,6 +1298,10 @@ class Solver:
     # tier has no size cap only because PETSc distributes the factor)
     LU_RESCUE_AFTER = 8
     LU_RESCUE_MAX_DOFS = 200_000
+    # explicit '-ksp_type preonly -pc_type lu' routing bound — see the
+    # note in route_petsc_direct (whole-run per-step factorizations
+    # need a much tighter budget than a rare rescue)
+    PETSC_ROUTE_MAX_DOFS = 200_000
 
     def _get_exact_step(self):
         """Last-resort EXACT direct step (the reference's MUMPS role):
