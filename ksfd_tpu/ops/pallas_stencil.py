@@ -207,18 +207,24 @@ def make_slab_pipeline(*, nx_loc, tx, halo, ntiles, B, padded_src,
 
         if lane_chunks is not None:
             # (lane_src_offset, lane_dst_offset, lane_len) pieces:
-            # lo halo | body | hi halo, periodic in the y direction
-            # (offsets are multiples of gcd(cl, hl) >= 128 mod L)
+            # lo halo | body | hi halo, periodic in the y direction.
+            # Offsets are computed in 128-lane units then scaled so
+            # Mosaic can PROVE the HBM slices' 128-lane tile alignment
+            # (same trick as the 8-row x offsets below; a plain
+            # rem(iy*cl - hl + L, L) is mathematically 128-aligned but
+            # the real-Mosaic prover rejects it: "Failed to prove that
+            # a tile index in dimension 2 is divisible by the tiling").
+            cl7, hl7, L7 = cl // 128, hl // 128, L // 128
             lo = jax.lax.rem(
-                iy * jnp.int32(cl) - jnp.int32(hl) + jnp.int32(L),
-                jnp.int32(L),
-            )
+                iy * jnp.int32(cl7) - jnp.int32(hl7) + jnp.int32(L7),
+                jnp.int32(L7),
+            ) * jnp.int32(128)
             hi = jax.lax.rem(
-                (iy + 1) * jnp.int32(cl), jnp.int32(L)
-            )
+                (iy + 1) * jnp.int32(cl7), jnp.int32(L7)
+            ) * jnp.int32(128)
             pieces = [
                 (lo, 0, hl),
-                (iy * jnp.int32(cl), hl, cl),
+                (iy * jnp.int32(cl7) * jnp.int32(128), hl, cl),
                 (hi, hl + cl, hl),
             ]
         else:

@@ -1608,8 +1608,12 @@ class Solver:
                             self._lu_mode = True
                             self._lu_accepts = 0
                             self._lu_probe = 1
-                            logTS("chunk rejected; exact LU retry at h",
-                                  h)
+                            print(
+                                "ksfd: fused chunk rejected at "
+                                "t=%.6g; exact LU retry engaged "
+                                "(h=%.3g)" % (t, h),
+                                flush=True,
+                            )
                             continue
                         h = self._new_h_reject(h, np.nan, False)
                         logTS("chunk rejected; no fallback, h ->", h)
@@ -1619,7 +1623,17 @@ class Solver:
                     self._fb_probe = min(
                         64, 1 << self._chunk_rej_streak
                     )
-                    logTS("chunk rejected; host fallback retry at h", h)
+                    # unconditional: the robust retry's FIRST execution
+                    # can pay the tunnel's multi-minute first-execution
+                    # stall (see CLAUDE.md) — without this line a run
+                    # goes silent there with no way to tell a stall
+                    # from a wedge from the log alone
+                    print(
+                        "ksfd: fused chunk rejected at t=%.6g; robust "
+                        "host retry engaged (h=%.3g, probe=%d)"
+                        % (t, h, self._fb_probe),
+                        flush=True,
+                    )
                 else:
                     self._chunk_rej_streak = 0
                 continue
