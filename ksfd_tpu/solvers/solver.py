@@ -1300,8 +1300,14 @@ class Solver:
     LU_RESCUE_MAX_DOFS = 200_000
     # explicit '-ksp_type preonly -pc_type lu' routing bound — see the
     # note in route_petsc_direct (whole-run per-step factorizations
-    # need a much tighter budget than a rare rescue)
-    PETSC_ROUTE_MAX_DOFS = 200_000
+    # need a much tighter budget than a rare rescue).  Measured r4
+    # (one-core host): SuperLU factorization alone is 3.2 s at 32k
+    # dofs and 131 s at 196k (fill ~N^1.5), so "well under a second
+    # per factorization" affords ~8k dofs (64²×2-class: 2.3 s/step
+    # all-in, docs/PERF.md).  The rescue cap stays 200_000: a rare
+    # last-resort step may cost minutes (131 s splu + 2 s vectorized
+    # assembly at 256²×3), which still beats a dead run.
+    PETSC_ROUTE_MAX_DOFS = 8_192
 
     def _get_exact_step(self):
         """Last-resort EXACT direct step (the reference's MUMPS role):
