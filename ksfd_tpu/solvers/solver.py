@@ -58,10 +58,18 @@ def route_petsc_direct(numerics, grid):
         return numerics
     from .steppers import DIRKTableau, get_tableau
 
+    # the 1D native cyclic-banded LU is O(N*b^2), not SuperLU's
+    # ~N^1.5 fill, so it affords a much larger whole-run routing cap
+    # (ADVICE r4): a 4096x3-dof banded factorization is milliseconds
+    route_cap = (
+        Solver.BANDED_ROUTE_MAX_DOFS
+        if grid.dim == 1
+        else Solver.PETSC_ROUTE_MAX_DOFS
+    )
     reason = None
     if isinstance(get_tableau(numerics.ts_type), DIRKTableau):
         reason = "DIRK tableau (the direct tier is Rosenbrock-only)"
-    elif grid.n_dofs > Solver.PETSC_ROUTE_MAX_DOFS:
+    elif grid.n_dofs > route_cap:
         # NOTE: deliberately TIGHTER than LU_RESCUE_MAX_DOFS.  The
         # rescue tier fires rarely (after 8 consecutive iterative
         # failures), so seconds/step is affordable there; routing the
@@ -74,7 +82,7 @@ def route_petsc_direct(numerics, grid):
         reason = (
             "grid too large for per-step host factorization "
             "(%d > %d dofs); the iterative stack plays MUMPS's "
-            "at-scale role" % (grid.n_dofs, Solver.PETSC_ROUTE_MAX_DOFS)
+            "at-scale role" % (grid.n_dofs, route_cap)
         )
     if reason is not None:
         print(
@@ -1306,8 +1314,16 @@ class Solver:
     # per factorization" affords ~8k dofs (64²×2-class: 2.3 s/step
     # all-in, docs/PERF.md).  The rescue cap stays 200_000: a rare
     # last-resort step may cost minutes (131 s splu + 2 s vectorized
-    # assembly at 256²×3), which still beats a dead run.
+    # assembly at 256²×3), which still beats a dead run.  NOTE the
+    # boundary: 8192 = 64²×2 exactly; a 3-field 64² grid (12288 dofs)
+    # stays iterative (ADVICE r4).
     PETSC_ROUTE_MAX_DOFS = 8_192
+    # 1D-only routing cap for the native cyclic-banded LU
+    # (native/banded.cpp): factorization is O(N*b^2) with bandwidth
+    # b ~ dof*(2*sw+1) — no N^1.5 fill — so whole-run routing stays
+    # sub-second far beyond the SuperLU bound (a 4096-element 3-field
+    # 1D grid factors in milliseconds; ADVICE r4).
+    BANDED_ROUTE_MAX_DOFS = 262_144
 
     def _get_exact_step(self):
         """Last-resort EXACT direct step (the reference's MUMPS role):

@@ -267,6 +267,16 @@ def test_route_petsc_direct():
     gbig = Grid(dim=2, width=1, height=1, nx=512, ny=512, dof=3,
                 order=3)
     assert route_petsc_direct(nm, gbig).ksp_type == nm.ksp_type
+    # 1D exemption (ADVICE r4): the native cyclic-banded LU is
+    # O(N*b^2), so a 1D grid far above the 2D SuperLU cap still
+    # routes to the banded tier...
+    g1big = Grid(dim=1, width=1, nx=16384, dof=3, order=3)
+    assert g1big.n_dofs > Solver.PETSC_ROUTE_MAX_DOFS
+    assert route_petsc_direct(nm, g1big).ksp_type == "banded"
+    # ...but not without limit
+    g1huge = Grid(dim=1, width=1, nx=131072, dof=3, order=3)
+    assert g1huge.n_dofs > Solver.BANDED_ROUTE_MAX_DOFS
+    assert route_petsc_direct(nm, g1huge).ksp_type == nm.ksp_type
     nma = dataclasses.replace(nm, ts_type="arkimex")
     assert route_petsc_direct(nma, g2).ksp_type == nma.ksp_type
     # no request recorded: untouched
