@@ -24,6 +24,8 @@ __all__ = [
     "gmres_rolled",
     "richardson_solve",
     "richardson_solve_resid",
+    "chebyshev_solve",
+    "chebyshev_solve_resid",
 ]
 
 
@@ -101,6 +103,76 @@ def richardson_solve_resid(resid, b, M, iters=12):
         return x + M(resid(x, b))
 
     return jax.lax.fori_loop(0, int(iters) - 1, body, x)
+
+
+def _cheb_core(resid, b, M, iters, lmin, lmax):
+    """Shared preconditioned-Chebyshev recurrence.
+
+    resid(x) must return b - W x.  lmin/lmax (traceable scalars) bound
+    the spectrum of M^{-1} W; Chebyshev reaches a given contraction in
+    ~sqrt(kappa) fewer applications than Richardson on [lmin, lmax]
+    (kappa = lmax/lmin), using NO inner products — the property that
+    makes it chunk-safe where Krylov compositions are not (CLAUDE.md:
+    basis-dot/operator interleavings run ~100x slower on TPU, and
+    rolled Krylov inside lax.cond-in-while crashes the runtime).
+
+    Stage-solve role (VERDICT r4 next #1): the aggregated Keller-Segel
+    phase makes the preconditioned spectrum spread to kappa ~ 60 (the
+    block pc bounds the rho diffusivity by its max, over-damping the
+    smooth regions), which pins Richardson at 16 sweeps per accepted
+    step while CFL headroom sits ~25x unused.  Chebyshev turns the
+    extra headroom into larger accepted h at ~sqrt(kappa) cost.
+
+    Unconditionally UNROLLED: each iteration is a handful of fused
+    tensor ops (like the Richardson sweeps), so even ~48 iterations
+    stay far from the unrolled-GMRES scalar-op explosion, and an
+    unrolled body is required inside the fused adaptive chunk (the
+    rolled-loop-in-cond-in-while TPU crash class).
+
+    Recurrence (Saad, Iterative Methods for Sparse Linear Systems,
+    2nd ed., Alg. 12.1, preconditioned form):
+      theta = (lmax+lmin)/2, delta = (lmax-lmin)/2, sigma = theta/delta
+      d_0 = M(b)/theta, x_1 = d_0, rho_0 = 1/sigma
+      rho_k = 1/(2 sigma - rho_{k-1})
+      d_k = rho_k rho_{k-1} d_{k-1} + (2 rho_k / delta) M(b - W x_k)
+      x_{k+1} = x_k + d_k
+    ``iters`` counts preconditioner applications (= W applications +
+    1), matching richardson_solve's convention.
+    """
+    dt = b.dtype
+    lmin = jnp.asarray(lmin, dtype=dt)
+    lmax = jnp.asarray(lmax, dtype=dt)
+    theta = 0.5 * (lmax + lmin)
+    delta = jnp.maximum(0.5 * (lmax - lmin), jnp.asarray(1e-8, dt))
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    d = M(b) / theta
+    x = d
+    for _ in range(int(iters) - 1):
+        z = M(resid(x))
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+        x = x + d
+        rho = rho_new
+    return x
+
+
+def chebyshev_solve(op, b, M, iters=16, lmin=0.05, lmax=1.05):
+    """Preconditioned Chebyshev on W x = b (see _cheb_core).
+
+    Like richardson_solve, a fixed-count inner-product-free iteration:
+    solve quality is judged by the caller's embedded step-error
+    control (SURVEY §5.3 division of labor), so a spectrum excursion
+    outside [lmin, lmax] degrades to a rejected step, never a crash.
+    """
+    return _cheb_core(lambda x: b - op(x), b, M, iters, lmin, lmax)
+
+
+def chebyshev_solve_resid(resid, b, M, iters=16, lmin=0.05, lmax=1.05):
+    """chebyshev_solve with a FUSED residual callable
+    resid(x, b) = b - W x (the Pallas resid kernel): saves the
+    separate elementwise pass each iteration."""
+    return _cheb_core(lambda x: resid(x, b), b, M, iters, lmin, lmax)
 
 
 def gmres_rolled(op, b, M=None, iters=12, restarts=4, x0=None):

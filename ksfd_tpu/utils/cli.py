@@ -157,6 +157,41 @@ class NumericsOptions:
                                   # 1e-11 over chained 1024^2 steps;
                                   # hard states escalate to the GMRES
                                   # retry path automatically)
+    ksp_iters_max2: int = 48      # THIRD escalation tier for the
+                                  # fused adaptive chunk: application
+                                  # count of the top tier, reached
+                                  # when a ksp_iters_max attempt is
+                                  # itself rejected at finite enorm.
+                                  # Lets the controller hold h values
+                                  # only a near-exact solve supports
+                                  # (the h-gap, VERDICT r4 #1);
+                                  # <= ksp_iters_max disables.
+    esc_cheb: bool = True         # escalated chunk tiers run
+                                  # CHEBYSHEV-accelerated iteration
+                                  # instead of plain Richardson
+                                  # (requires pc_type block for the
+                                  # on-device spectral-interval
+                                  # estimate; inner-product-free, so
+                                  # chunk-safe).  ~sqrt(kappa) fewer
+                                  # applications per contraction on
+                                  # the aggregated phase's spread
+                                  # spectrum; -esc_cheb 0 opts out.
+    cheb_lmin: float = 0.0        # Chebyshev interval lower bound for
+                                  # -ksp_type chebyshev tiers; 0 =
+                                  # estimate per step on device from
+                                  # the pointwise diffusivity spread
+                                  # (block pc only)
+    cheb_lmax: float = 1.2        # interval upper bound: the block pc
+                                  # over-damps (rho_diff is a max), so
+                                  # M^{-1}W eigenvalues sit <= ~1; the
+                                  # 0.2 margin guards coupling
+                                  # excursions (eigenvalues ABOVE lmax
+                                  # diverge, below lmin merely contract
+                                  # slower — asymmetric by design)
+    cheb_safety: float = 0.5      # multiplier on the AUTO lmin
+                                  # estimate (the scalar-diffusivity
+                                  # model ignores coupling spread;
+                                  # under-estimating lmin is graceful)
     pc_type: str = "block"       # block (per-mode mean-state
                                  # linearization inverse, default) |
                                  # spectral (per-field diagonal) | none
@@ -170,7 +205,13 @@ class NumericsOptions:
                                  # constant CFL factor clamps h on
                                  # device; only a TIME-DEPENDENT CFL
                                  # factor falls back to the host loop)
-    pc_dtype: str = "float32"    # transform dtype (approx inverse).
+    pc_dtype: str = "auto"       # transform dtype (approx inverse).
+                                 # auto (default): float32 on a
+                                 # single device; bfloat16 when the
+                                 # build mesh spans >1 device or
+                                 # process_count > 1 (VERDICT r4 #2 —
+                                 # the multi-chip wire lever engages
+                                 # by default where it matters).
                                  # bf16 also stores the transform
                                  # intermediates/coefficients in bf16:
                                  # single-chip-neutral (the apply is
@@ -179,11 +220,10 @@ class NumericsOptions:
                                  # the sharded pc's all-reduce wire
                                  # bytes — the multi-chip comm knob
                                  # (tests/test_comm_audit.py pins the
-                                 # halving).  Not defaulted under
-                                 # sharding: the 1e-5 sharded-vs-
-                                 # single identity tests — the multi-
-                                 # chip correctness strategy — require
-                                 # the same pc on both sides.
+                                 # halving).  Explicit -pc_dtype
+                                 # f32/bf16/f64 always wins (the
+                                 # sharded-vs-single identity tests
+                                 # pin f32 on both sides).
     pc_pallas: bool = False      # fused Pallas block-pc apply
                                  # (ops/pallas_pc.py).  Measured AT
                                  # PARITY with the einsum apply on
@@ -376,14 +416,30 @@ def decode_numerics(tokens, petsc_tokens=()):
         elif key == "ksp_iters_max":
             val, i = take_value(i)
             opts.ksp_iters_max = inum(val, tok)
+        elif key == "ksp_iters_max2":
+            val, i = take_value(i)
+            opts.ksp_iters_max2 = inum(val, tok)
+        elif key == "esc_cheb":
+            val, i = take_value(i)
+            opts.esc_cheb = str(val) not in ("0", "false", "False")
+        elif key == "cheb_lmin":
+            val, i = take_value(i)
+            opts.cheb_lmin = fnum(val, tok)
+        elif key == "cheb_lmax":
+            val, i = take_value(i)
+            opts.cheb_lmax = fnum(val, tok)
+        elif key == "cheb_safety":
+            val, i = take_value(i)
+            opts.cheb_safety = fnum(val, tok)
         elif key == "ksp_restart" or key == "ksp_gmres_restart":
             val, i = take_value(i)
             opts.ksp_restart = inum(val, tok)
         elif key == "ksp_type":
             val, i = take_value(i)
             if val in (
-                "richardson", "gmres", "gmres_restarted", "gmres_rolled",
-                "gmres_scipy", "dense", "direct", "banded", "lu",
+                "richardson", "chebyshev", "gmres", "gmres_restarted",
+                "gmres_rolled", "gmres_scipy", "dense", "direct",
+                "banded", "lu",
             ):
                 opts.ksp_type = val
                 # a native selection overrides the PETSc-pair routing
@@ -434,6 +490,7 @@ def decode_numerics(tokens, petsc_tokens=()):
                 "bf16": "bfloat16", "bfloat16": "bfloat16",
                 "f32": "float32", "f64": "float64",
                 "float32": "float32", "float64": "float64",
+                "auto": "auto",
             }.get(val, opts.pc_dtype)
         elif key == "pc_pallas":
             val, i = take_value(i)
