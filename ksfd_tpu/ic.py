@@ -80,9 +80,11 @@ def resume_values(clargs, grid, ps):
     opens its own '<prefix>s<size>r<rank>.h5' (the reference's
     per-rank read chain, KSFD/ksfdtimeseries.py:188-243) and returns
     its slab plus its box in extras['box']; the driver reassembles the
-    global sharded state with global_from_local.  Resuming a slab set
-    written by a DIFFERENT process count requires tsmerge first, like
-    the reference.
+    global sharded state with global_from_local.  A SINGLE process
+    resuming a multi-rank slab set gets the virtual slab view (the
+    TimeSeries assembles the global state across the set — no tsmerge
+    needed); only multi-process resumes from a DIFFERENT process
+    count still require tsmerge first, like the reference.
     """
     import jax
 

@@ -14,7 +14,13 @@ File-format parity with the reference (KSFD/ksfdtimeseries.py:73-671):
 TPU-native additions: '/solver_state' (t, dt, lastvart, JAX PRNG key,
 step counter) written by the checkpoint monitor so resume is bit-exact
 — the reference restores only t/dt/lastvart and restarts its RNG from
-the seed (SURVEY §5.4).
+the seed (SURVEY §5.4) — and the VIRTUAL SLAB VIEW: a single-process
+reader pointed at a multi-rank slab set ('{name}s<N>r<k>.h5',
+complete for ranks 0..N-1) opens the whole set as ONE logical global
+series, no tsmerge pass needed.  This is the working '--mpiok'
+semantics; the reference's parallel-HDF5 attempt is declared
+broken/deadlocking (/root/reference/ksfdsolver2.py:80-89,
+KSFD/ksfdtimeseries.py:17-27).
 """
 
 import gc
@@ -131,6 +137,9 @@ class TimeSeries:
                         for r in np.asarray(self.tsf[key][()])
                     )
                     break
+        self._slabs = None
+        if getattr(self, "_slab_files", None):
+            self._open_slabs()
         self.tsf.flush()
 
     @property
@@ -140,6 +149,44 @@ class TimeSeries:
             return self.grid.Vshape
         return (self.grid.dof,) + tuple(hi - lo for lo, hi in self.ranges)
 
+    # -- virtual slab view (working '--mpiok' read semantics) ----------
+    def _open_slabs(self):
+        """Open every file of the slab set; the series then presents
+        the GLOBAL grid (self.ranges -> None) and retrieve_by_number
+        assembles snapshots across slabs."""
+        slabs = []
+        for f in self._slab_files:
+            h = self.open_with_retry(fname=f, mode="r")
+            rng = None
+            for key in ("ranges", "grid/ranges"):
+                if key in h:
+                    rng = tuple(
+                        tuple(int(x) for x in r)
+                        for r in np.asarray(h[key][()])
+                    )
+                    break
+            if rng is None:
+                # a rangeless member means the set is not a slab
+                # decomposition after all; fall back to plain reads
+                for hh, _ in slabs:
+                    hh.close()
+                h.close()
+                self._slab_files = None
+                return
+            slabs.append((h, rng))
+        self._slabs = slabs
+        self.ranges = None
+        logSERIES(
+            "virtual slab view over", len(slabs), "files:",
+            self._slab_files,
+        )
+
+    @property
+    def virtual(self):
+        """True when this reader presents a multi-rank slab set as one
+        logical global series."""
+        return bool(getattr(self, "_slabs", None))
+
     # -- filename protocol ---------------------------------------------
     def _get_filename(self, basename, size, rank, mode):
         name_self = "{n}s{s}r{r}.h5".format(n=basename, s=size, r=rank)
@@ -147,6 +194,7 @@ class TimeSeries:
         name_mpi = "{n}MPI.h5".format(n=basename)
         writing = mode[0] in ("w", "x")
         self.creating = writing
+        self._slab_files = None
         if writing:
             return name_self
         if os.path.isfile(name_self):
@@ -155,10 +203,35 @@ class TimeSeries:
             for cand in (name_seq, name_mpi):
                 if os.path.isfile(cand):
                     return cand
-            # a single s<size>r0 file from another run size is readable
-            # when it holds the full grid; glob for one as last resort
+            # VIRTUAL SLAB VIEW (the working '--mpiok' semantics the
+            # reference never achieved, /root/reference/ksfdsolver2.py:
+            # 80-89): a single-process reader pointed at a multi-rank
+            # slab set opens the COMPLETE set as one logical global
+            # series — no tsmerge pass needed.  Engaged only for
+            # single-process readers (size == 1): multi-process
+            # readers keep the strict own-slab semantics resume
+            # depends on.
             import glob
 
+            if size == 1 and mode[0] == "r":
+                sets = {}
+                for f in sorted(glob.glob(basename + "s*r*.h5")):
+                    try:
+                        _, fsize, frank, _ = parse_filename(
+                            os.path.basename(f)
+                        )
+                    except ValueError:
+                        continue
+                    sets.setdefault(fsize, {})[frank] = f
+                for fsize in sorted(sets, reverse=True):
+                    ranks = sets[fsize]
+                    if fsize > 1 and sorted(ranks) == list(range(fsize)):
+                        self._slab_files = [
+                            ranks[r] for r in range(fsize)
+                        ]
+                        return ranks[0]
+            # a single s<size>r0 file from another run size is readable
+            # when it holds the full grid; glob for one as last resort
             cands = sorted(glob.glob(basename + "s*r0.h5"))
             if cands:
                 return cands[0]
@@ -288,9 +361,18 @@ class TimeSeries:
         self._sort()
         self.tsf.flush()
 
+    def _close_slabs(self):
+        for h, _ in getattr(self, "_slabs", None) or ():
+            try:
+                h.close()
+            except Exception:
+                pass
+        self._slabs = None
+
     def temp_close(self):
         """Close keeping state; reopen() resumes.  Crash-safe saving."""
         self._sort()
+        self._close_slabs()
         self.tsf.close()
         self._tsf = None
         self._info = None
@@ -298,11 +380,14 @@ class TimeSeries:
     def reopen(self):
         mode = self.mode if self.mode == "r" else "r+"
         self._tsf = self.open_with_retry(mode=mode)
+        if getattr(self, "_slab_files", None):
+            self._open_slabs()
 
     def close(self):
         if not getattr(self, "_tsf", None):
             self.reopen()
         self._sort()
+        self._close_slabs()
         self.tsf.close()
         self._tsf = None
         self._info = None
@@ -417,6 +502,16 @@ class TimeSeries:
         return self.order
 
     def retrieve_by_number(self, k):
+        if self.virtual:
+            out = None
+            key = "data" + str(k)
+            for h, rng in self._slabs:
+                vals = np.asarray(h[key])
+                if out is None:
+                    out = np.empty(self.grid.Vshape, dtype=vals.dtype)
+                slc = (slice(None),) + tuple(slice(*r) for r in rng)
+                out[slc] = vals
+            return out
         return np.array(self.tsf["data" + str(k)])
 
     def find_time(self, t):

@@ -64,7 +64,14 @@ def parse_commandline(args=None):
     parser.add_argument("--series_retry_interval", type=int, default=60,
                         help="time (s) between open retries")
     parser.add_argument("--mpiok", action="store_true",
-                        help="accepted for compatibility (no-op)")
+                        help="accepted for compatibility.  Multi-"
+                             "process runs always write per-rank slab "
+                             "files AND any single-process reader "
+                             "(Solution, tools, resume) opens the "
+                             "complete slab set as one logical series "
+                             "(the virtual slab view) — the working "
+                             "equivalent of the reference's broken "
+                             "parallel-HDF5 mode")
     parser.add_argument("--showparams", action="store_true",
                         help="print all parameters and exit")
     parser.add_argument("--noperiodic", action="store_true",
