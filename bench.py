@@ -41,6 +41,49 @@ import time
 BASELINE_DOF_UPDATES_PER_SEC = 7.08e6 * 1e4 / 86400.0  # 819,200/s
 
 
+def _rough_state(grid, ps):
+    """Deterministic aggregated-phase-like state: sharp capped peaks
+    over a depleted background — the regime the production E2E runs
+    live in (post-onset aggregation2d: rho spans ~[300, 25000] with
+    cell-scale gradients, 16+-application solves; docs/PERF.md r4
+    escalation E2E).  Pseudo-random but seed-fixed so the bench is
+    reproducible run to run."""
+    import numpy as np
+
+    v0 = ps.values0
+    rhomax = float(v0.get("rhomax", 28000.0))
+    nx, ny = int(grid.nx), int(grid.ny)
+    x = np.arange(nx) / nx
+    y = np.arange(ny) / ny
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    rng = np.random.default_rng(1234)
+    npeaks = max(8, (nx * ny) // 65536)
+    rho = np.full((nx, ny), 400.0)
+    for cx, cy in rng.random((npeaks, 2)):
+        # periodic squared distance, width ~4 cells
+        dx = np.minimum(np.abs(X - cx), 1.0 - np.abs(X - cx))
+        dy = np.minimum(np.abs(Y - cy), 1.0 - np.abs(Y - cy))
+        w = 4.0 / nx
+        rho += 0.88 * rhomax * np.exp(-(dx**2 + dy**2) / (2 * w * w))
+    rho = np.minimum(rho, 0.92 * rhomax)
+    # ligands near their local steady state s/gamma * rho, slightly
+    # smoothed (the real fields diffuse); the exact profile only needs
+    # to be aggregation-CLASS, not a trajectory point
+    smooth = rho
+    for _ in range(3):
+        smooth = 0.25 * (
+            np.roll(smooth, 1, 0) + np.roll(smooth, -1, 0)
+            + np.roll(smooth, 1, 1) + np.roll(smooth, -1, 1)
+        )
+    fields = [rho]
+    for lig in ps.Vgroups.ligands():
+        suffix = lig.name()[1:]
+        sval = float(v0.get("s" + suffix, lig.s))
+        gval = float(v0.get("gamma" + suffix, lig.gamma))
+        fields.append(smooth * (sval / gval))
+    return np.stack(fields)
+
+
 def _backend_initializes(timeout=240):
     """True iff the default JAX backend comes up in a subprocess
     within ``timeout`` seconds.
@@ -83,6 +126,11 @@ def main(argv=None):
     parser.add_argument("--ksp-iters", type=int, default=None,
                         help="preconditioned Richardson sweeps per stage "
                              "(default: the library default)")
+    parser.add_argument("--stiff-h", type=float, default=2.0,
+                        help="pinned step size for the stiff-regime "
+                             "figure (must be solve-limited on the "
+                             "rough state: fast tier rejects, "
+                             "escalated tiers carry it)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -252,6 +300,70 @@ def main(argv=None):
             file=sys.stderr,
         )
 
+    # --- STIFF-REGIME rate (VERDICT r4 #4): the production runs live
+    # in the escalated-tier regime (aggregated states, 16+-application
+    # solves), which the two figures above — smooth state, 3-sweep
+    # accepts — cannot regress.  Seed a deterministic ROUGH state
+    # (capped sharp peaks, the aggregated-phase signature), pin dt_max
+    # to a solve-limited h, and slope-time the adaptive chunk's
+    # accepted steps there; assert the escalation tiers actually
+    # engaged (attempts > accepts).
+    urough = jnp.asarray(_rough_state(grid, ps))
+    h_st = jnp.asarray(args.stiff_h)
+    nm_st = dataclasses.replace(numerics, dt_max=float(args.stiff_h))
+    chunk_st, _ = make_adaptive_chunk_fn(
+        ops, nm_st, atol=0.01, rtol=1e-6,
+        max_attempts=8 * (args.steps + 4),
+    )
+
+    def run_stiff(up, n):
+        u1, t1, h1, k1, att1, rej1 = chunk_st(up, t, h_st, 1e30, n)
+        fence(u1, t1)
+        return u1, int(k1), int(att1), bool(rej1)
+
+    st_uw = {}
+    st_att = {}
+    for nst in (n_small, n_big):
+        u1, k1, att1, rej1 = run_stiff(urough, nst)
+        assert k1 == nst and not rej1, (
+            "stiff bench chunk did not deliver its accepts: "
+            "k=%d att=%d rej=%s of %d" % (k1, att1, rej1, nst)
+        )
+        st_uw[nst] = u1
+        st_att[nst] = att1
+    # the whole point: the rough state must engage the escalation
+    # tiers (otherwise this is the smooth figure again)
+    assert st_att[n_big] > n_big, (
+        "stiff bench state did not engage the escalation tiers: "
+        "attempts=%d accepts=%d" % (st_att[n_big], n_big)
+    )
+    st_times = {n_small: [], n_big: []}
+    st_outs = {}
+    for rep in range(args.repeats):
+        for nst in (n_small, n_big):
+            pert = 1e-9 * (5 + 2 * rep + (nst == n_big))
+            up = urough * (1.0 + pert) + pert
+            fence(up, 0.0)
+            t0 = time.perf_counter()
+            u1, k1, att1, rej1 = run_stiff(up, nst)
+            st_times[nst].append(time.perf_counter() - t0)
+            assert k1 == nst, (k1, nst)
+            st_outs[nst] = u1
+    for nst in (n_small, n_big):
+        assert not bool(jnp.array_equal(st_outs[nst], st_uw[nst])), (
+            "stiff timed output identical to warmup - dedupe suspected"
+        )
+    st_step = (min(st_times[n_big]) - min(st_times[n_small])) / (
+        n_big - n_small
+    )
+    st_rate = dof / st_step
+    if args.verbose:
+        print(
+            "stiff chunk: step_time=%.4fs rate=%.3e attempts/accepts="
+            "%.2f" % (st_step, st_rate, st_att[n_big] / n_big),
+            file=sys.stderr,
+        )
+
     result = {
         "metric": "implicit KS step DOF-updates/sec/chip "
                   "(2D %dx%d, 3 dofs, f64, ROS34PW2 + spectral-"
@@ -266,6 +378,19 @@ def main(argv=None):
             "unit": "DOF-updates/sec/chip",
             "vs_baseline": round(
                 ad_rate / BASELINE_DOF_UPDATES_PER_SEC, 3
+            ),
+        },
+        "stiff_chunk": {
+            "metric": "device-fused adaptive chunk DOF-updates/sec/"
+                      "chip on a ROUGH capped-peak state at h=%g "
+                      "(escalated solve tiers engaged: %.2f attempts/"
+                      "accept)" % (
+                          float(args.stiff_h), st_att[n_big] / n_big,
+                      ),
+            "value": round(st_rate, 1),
+            "unit": "DOF-updates/sec/chip",
+            "vs_baseline": round(
+                st_rate / BASELINE_DOF_UPDATES_PER_SEC, 3
             ),
         },
     }

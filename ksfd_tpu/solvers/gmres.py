@@ -139,6 +139,8 @@ def _cheb_core(resid, b, M, iters, lmin, lmax):
     ``iters`` counts preconditioner applications (= W applications +
     1), matching richardson_solve's convention.
     """
+    import jax
+
     dt = b.dtype
     lmin = jnp.asarray(lmin, dtype=dt)
     lmax = jnp.asarray(lmax, dtype=dt)
@@ -148,12 +150,40 @@ def _cheb_core(resid, b, M, iters, lmin, lmax):
     rho = 1.0 / sigma
     d = M(b) / theta
     x = d
-    for _ in range(int(iters) - 1):
+
+    # Unroll policy is PLATFORM-GATED (both directions measured, r5):
+    # - TPU/tunnel: ALWAYS unroll.  A rolled fori_loop body inside
+    #   the chunk's lax.switch-in-while runs pathologically slowly on
+    #   the axon tunnel (~1.8 s/attempt vs 0.147 s unrolled at 1536²
+    #   — the CLAUDE.md nested-real-lax-loops disease), while the
+    #   unrolled 3+16+48 tier graph compiles and runs fine on
+    #   XLA:TPU (probe_hgap + on-chip chunk runs).
+    # - CPU: roll above 16 applications.  The same unrolled tier
+    #   graph inside the 3-branch switch-in-while SEGFAULTS XLA:CPU
+    #   (recursive-pass stack limit) at 2D sizes, and CPU runs the
+    #   rolled loop at full speed.  The rolled body is a plain
+    #   3-term tensor recurrence (bit-identical to the unrolled
+    #   form, tests/test_chebyshev.py), structurally nothing like
+    #   the rolled-Krylov bodies that crash the TPU runtime.
+    if jax.default_backend() != "cpu" or int(iters) - 1 <= 16:
+        for _ in range(int(iters) - 1):
+            z = M(resid(x))
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+            x = x + d
+            rho = rho_new
+        return x
+
+    def body(i, carry):
+        x, d, rho = carry
         z = M(resid(x))
         rho_new = 1.0 / (2.0 * sigma - rho)
         d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
-        x = x + d
-        rho = rho_new
+        return (x + d, d, rho_new)
+
+    x, _, _ = jax.lax.fori_loop(
+        0, int(iters) - 1, body, (x, d, rho)
+    )
     return x
 
 

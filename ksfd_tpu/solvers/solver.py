@@ -984,17 +984,27 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         esc_iters > int(numerics.ksp_iters)
         and numerics.ksp_type in ("richardson", "chebyshev")
     )
+    # MIXED ladder (measured r5, docs/PERF.md): the MIDDLE tier stays
+    # on the primary solver — Richardson never amplifies any mode
+    # with preconditioned eigenvalue in (0, 2), which carries the
+    # aggregation ONSET where transient eigenvalue excursions above
+    # the Chebyshev interval's lmax make an all-Chebyshev ladder
+    # diverge (the flagship E2E rejected out of the chunk at t≈2e3
+    # with cheb tiers 1+2; rich16 carried the same phase in r4).
+    # Only the TOP tier runs Chebyshev (esc_cheb, block pc only):
+    # it engages post-onset at large h, where the probe shows it
+    # truncation-limited to h=64+ while rich16 caps at ~5.
     tiers = [(numerics.ksp_type, int(numerics.ksp_iters))]
     if esc_ok:
-        esc_type = numerics.ksp_type
-        if getattr(numerics, "esc_cheb", False) and (
-            numerics.pc_type == "block"
-        ):
-            esc_type = "chebyshev"
-        tiers.append((esc_type, esc_iters))
+        tiers.append((numerics.ksp_type, esc_iters))
         esc2 = int(getattr(numerics, "ksp_iters_max2", 0) or 0)
         if esc2 > esc_iters:
-            tiers.append((esc_type, esc2))
+            top_type = numerics.ksp_type
+            if getattr(numerics, "esc_cheb", False) and (
+                numerics.pc_type == "block"
+            ):
+                top_type = "chebyshev"
+            tiers.append((top_type, esc2))
     tier_steps = []
     if esc_ok:
         import dataclasses

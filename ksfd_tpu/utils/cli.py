@@ -166,16 +166,24 @@ class NumericsOptions:
                                   # only a near-exact solve supports
                                   # (the h-gap, VERDICT r4 #1);
                                   # <= ksp_iters_max disables.
-    esc_cheb: bool = True         # escalated chunk tiers run
-                                  # CHEBYSHEV-accelerated iteration
-                                  # instead of plain Richardson
-                                  # (requires pc_type block for the
-                                  # on-device spectral-interval
+    esc_cheb: bool = True         # the TOP chunk tier (ksp_iters_max2)
+                                  # runs CHEBYSHEV-accelerated
+                                  # iteration instead of plain
+                                  # Richardson (requires pc_type block
+                                  # for the on-device spectral-interval
                                   # estimate; inner-product-free, so
                                   # chunk-safe).  ~sqrt(kappa) fewer
                                   # applications per contraction on
                                   # the aggregated phase's spread
-                                  # spectrum; -esc_cheb 0 opts out.
+                                  # spectrum — truncation-limited at
+                                  # h=64+ where rich16 caps at ~5
+                                  # (docs/PERF.md r5).  The MIDDLE
+                                  # tier stays Richardson: it never
+                                  # amplifies, which carries the
+                                  # aggregation onset where transient
+                                  # spectrum excursions above lmax
+                                  # diverge Chebyshev.  -esc_cheb 0
+                                  # opts out.
     cheb_lmin: float = 0.0        # Chebyshev interval lower bound for
                                   # -ksp_type chebyshev tiers; 0 =
                                   # estimate per step on device from
