@@ -881,7 +881,7 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
 
 def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                            tableau=None, max_attempts=64, mesh=None,
-                           max_rejects=8, cfl_safety=None,
+                           max_rejects=16, cfl_safety=None,
                            unsharded_ok=False):
     """Fused ADAPTIVE integrator chunk: accept/reject control flow on
     device (lax.while_loop), no host round-trips between steps.
@@ -905,9 +905,17 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     retries that h with the robust GMRES solver on the HOST before
     re-entering the chunk.
 
-    max_rejects=8 lets the chunk walk h all the way down from a
+    max_rejects=16 lets the chunk walk h all the way down from a
     robust-solver-sized step to the fast path's sustainable h in one
-    dispatch (0.33x per rejection: ~5 shrinks for 110 -> 1.6).
+    dispatch.  The budget must cover MILD shrinks too: rejections
+    with enorm ~2-4 shrink only 0.73x each (the controller formula is
+    enorm-proportional), and the r5 flagship onset needed ~12 such
+    shrinks (h 6 -> 0.3) — the old budget of 8 exited to the host
+    retry just above the acceptable h, which a converged-solve probe
+    showed was a truncation-limited phase, not a solver failure
+    (docs/PERF.md r5).  Only TOP-TIER rejections count (escalation
+    iterations are free), so a genuinely stuck state burns at most
+    ~3x16 attempts (~2 s) before the host escalation.
     Measured on the hexagons2d 384^2 rough state: the chunk then
     self-stabilizes at the solve-error-limited h and runs at ~1300
     simulated-t-units/s (1.3 ms/step, 3 sweeps) vs ~50 t-units/s for
@@ -984,16 +992,17 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         esc_iters > int(numerics.ksp_iters)
         and numerics.ksp_type in ("richardson", "chebyshev")
     )
-    # MIXED ladder (measured r5, docs/PERF.md): the MIDDLE tier stays
-    # on the primary solver — Richardson never amplifies any mode
-    # with preconditioned eigenvalue in (0, 2), which carries the
-    # aggregation ONSET where transient eigenvalue excursions above
-    # the Chebyshev interval's lmax make an all-Chebyshev ladder
-    # diverge (the flagship E2E rejected out of the chunk at t≈2e3
-    # with cheb tiers 1+2; rich16 carried the same phase in r4).
-    # Only the TOP tier runs Chebyshev (esc_cheb, block pc only):
-    # it engages post-onset at large h, where the probe shows it
-    # truncation-limited to h=64+ while rich16 caps at ~5.
+    # MIXED ladder (r5, docs/PERF.md): only the TOP tier runs
+    # Chebyshev (esc_cheb, block pc only) — it engages post-onset at
+    # large h, where the probe shows it truncation-limited to h=64+
+    # while rich16 caps at ~5.  The MIDDLE tier stays on the primary
+    # solver: Richardson never amplifies any mode with preconditioned
+    # eigenvalue in (0, 2), so the ladder keeps one
+    # robust-by-construction escalation even if a transient state
+    # pushes the spectrum past the Chebyshev interval (measured
+    # EQUIVALENT at the aggregation onset — the converged-solve
+    # probe on solutions/agg2d_onset shows rich48 == cheb48 enorm —
+    # so the mixed choice costs nothing where it is not needed).
     tiers = [(numerics.ksp_type, int(numerics.ksp_iters))]
     if esc_ok:
         tiers.append((numerics.ksp_type, esc_iters))
@@ -1081,8 +1090,27 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
             esc = jnp.bool_(False)
             if ntiers > 1:
                 esc = finite & (~ok) & (tier < ntiers - 1)
-                tier = jnp.where(esc, tier + 1, tier)
-                park = jnp.where(esc, jnp.int32(ESC_PARK), park)
+                # a TOP-tier rejection RESTARTS the ladder at the
+                # shrunk h: truncation-limited rejections (the
+                # aggregation onset: enorm 2-4 at every tier) walk h
+                # down over many attempts, and the cheapest tier that
+                # accepts at the final h should carry the phase — not
+                # the most expensive one the walk happened to end on.
+                # Also insurance: if a state ever ordered the tiers
+                # anomalously (e.g. a spectrum past the Chebyshev
+                # interval), a pinned top tier would wedge the chunk
+                # into max_rejects straight rejections while a middle
+                # tier would accept.  Restart costs at most two cheap
+                # escalation iterations when the phase really does
+                # need the top tier.
+                topfail = finite & (~ok) & (tier == ntiers - 1)
+                tier = jnp.where(
+                    topfail, jnp.int32(0), jnp.where(esc, tier + 1,
+                                                     tier)
+                )
+                park = jnp.where(
+                    esc | topfail, jnp.int32(ESC_PARK), park
+                )
                 deesc = ok & (tier > 0)
                 park = jnp.where(deesc, park - 1, park)
                 drop = deesc & (park <= 0)

@@ -178,12 +178,13 @@ class NumericsOptions:
                                   # spectrum — truncation-limited at
                                   # h=64+ where rich16 caps at ~5
                                   # (docs/PERF.md r5).  The MIDDLE
-                                  # tier stays Richardson: it never
-                                  # amplifies, which carries the
-                                  # aggregation onset where transient
-                                  # spectrum excursions above lmax
-                                  # diverge Chebyshev.  -esc_cheb 0
-                                  # opts out.
+                                  # tier stays Richardson — it never
+                                  # amplifies (eigenvalues in (0,2)),
+                                  # keeping one robust-by-construction
+                                  # escalation; measured equivalent
+                                  # to Chebyshev at the aggregation
+                                  # onset, so the safety is free.
+                                  # -esc_cheb 0 opts out.
     cheb_lmin: float = 0.0        # Chebyshev interval lower bound for
                                   # -ksp_type chebyshev tiers; 0 =
                                   # estimate per step on device from
