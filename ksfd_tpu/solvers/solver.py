@@ -881,7 +881,7 @@ def make_multistep_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
 
 def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                            tableau=None, max_attempts=64, mesh=None,
-                           max_rejects=16, cfl_safety=None,
+                           max_rejects=24, cfl_safety=None,
                            unsharded_ok=False):
     """Fused ADAPTIVE integrator chunk: accept/reject control flow on
     device (lax.while_loop), no host round-trips between steps.
@@ -905,7 +905,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     retries that h with the robust GMRES solver on the HOST before
     re-entering the chunk.
 
-    max_rejects=16 lets the chunk walk h all the way down from a
+    max_rejects=24 lets the chunk walk h all the way down from a
     robust-solver-sized step to the fast path's sustainable h in one
     dispatch.  The budget must cover MILD shrinks too: rejections
     with enorm ~2-4 shrink only 0.73x each (the controller formula is
@@ -987,6 +987,11 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
     # sweep chains, UNROLLED, so the rolled-Krylov-in-cond-in-while
     # pattern that crashed the TPU runtime in r2 does not arise.
     ESC_PARK = 16
+    # a de-escalation PROBE stays on the lower tier only when its
+    # accept is comfortable: enorm well under the controller's
+    # equilibrium (safety^4 = 0.66), i.e. the lower tier is NOT at a
+    # solve-error floor that would drag h back down
+    PROBE_GOOD = 0.5
     esc_iters = int(getattr(numerics, "ksp_iters_max", 0) or 0)
     esc_ok = (
         esc_iters > int(numerics.ksp_iters)
@@ -1040,7 +1045,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         max_accepts = jnp.asarray(max_accepts, dtype=jnp.int32)
 
         def cond(c):
-            u, t, h, f0, k, fails, attempts, tier, park = c
+            u, t, h, f0, k, fails, attempts, tier, park, probing = c
             return (
                 (attempts < max_attempts)
                 & (k < max_accepts)
@@ -1068,7 +1073,7 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
         ntiers = len(attempt_fns)
 
         def body(c):
-            u, t, h, f0, k, fails, attempts, tier, park = c
+            u, t, h, f0, k, fails, attempts, tier, park, probing = c
             if ntiers > 1:
                 u1, enorm, f1 = jax.lax.switch(
                     tier, attempt_fns, (u, t, h, f0)
@@ -1083,10 +1088,28 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
             # below the top tier moves to tier+1 and re-attempts the
             # SAME h on the next iteration — h untouched, no failure
             # counted; only a top-tier rejection is a controller
-            # rejection (shrink h, count it).  An accepted escalated
-            # step parks there for ESC_PARK accepts, then
-            # de-escalates ONE tier at a time (the top tier re-probes
-            # through the middle one).
+            # rejection (shrink h, count it).
+            #
+            # BIDIRECTIONAL TIER PROBING (the r5 lesson, measured on
+            # the flagship): rejection-driven escalation alone
+            # SELF-TRAPS.  The controller equilibrates at enorm =
+            # safety^4 = 0.66; when a middle tier's SOLVE-ERROR floor
+            # happens to sit just under that (rich16 at h~4.3 on the
+            # aggregated state: enorm 0.62), the tier keeps accepting,
+            # h never grows to the rejection that would escalate, and
+            # the run crawls at h~4 while the physics allows 64+.  The
+            # enorm of an accepted step cannot distinguish solve
+            # error from truncation — but a ONE-STEP PROBE at the
+            # next tier can: every ESC_PARK accepts, a MARGINAL
+            # accept (enorm > PROBE_GOOD) probes UP, a comfortable
+            # one (enorm <= PROBE_GOOD) probes DOWN; the probe's tier
+            # STICKS only if the probe accept is comfortable,
+            # otherwise the ladder returns to where it was (and a
+            # probe rejection re-escalates through the normal path,
+            # h untouched).  Cost: one off-tier attempt per ESC_PARK
+            # accepts (~2-18% depending on phase); payoff: the chunk
+            # rides the strongest tier's TRUNCATION contour whenever
+            # that unlocks larger h.
             esc = jnp.bool_(False)
             if ntiers > 1:
                 esc = finite & (~ok) & (tier < ntiers - 1)
@@ -1096,26 +1119,45 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                 # down over many attempts, and the cheapest tier that
                 # accepts at the final h should carry the phase — not
                 # the most expensive one the walk happened to end on.
-                # Also insurance: if a state ever ordered the tiers
-                # anomalously (e.g. a spectrum past the Chebyshev
-                # interval), a pinned top tier would wedge the chunk
-                # into max_rejects straight rejections while a middle
-                # tier would accept.  Restart costs at most two cheap
-                # escalation iterations when the phase really does
-                # need the top tier.
                 topfail = finite & (~ok) & (tier == ntiers - 1)
+                # resolve an outstanding probe (this attempt was it):
+                # a marginal probe accept repositions the ladder back
+                marginal = ok & (enorm > PROBE_GOOD)
+                down_bounce = (
+                    (probing == 1) & marginal & (tier < ntiers - 1)
+                )
+                up_return = (probing == 2) & marginal & (tier > 0)
+                resolved = (probing > 0) & ok
+                # ordinary accepted steps count the park down; expiry
+                # launches the next probe, directed by this accept's
+                # enorm
+                ordinary = ok & (probing == 0)
+                park = jnp.where(ordinary, park - 1, park)
+                expire = ordinary & (park <= 0)
+                probe_up = expire & marginal & (tier < ntiers - 1)
+                probe_down = (
+                    expire & (~marginal) & (tier > 0)
+                )
                 tier = jnp.where(
-                    topfail, jnp.int32(0), jnp.where(esc, tier + 1,
-                                                     tier)
+                    topfail,
+                    jnp.int32(0),
+                    jnp.where(
+                        esc | down_bounce | probe_up,
+                        jnp.minimum(tier + 1, ntiers - 1),
+                        jnp.where(
+                            up_return | probe_down, tier - 1, tier
+                        ),
+                    ),
                 )
                 park = jnp.where(
-                    esc | topfail, jnp.int32(ESC_PARK), park
+                    esc | topfail | resolved | expire,
+                    jnp.int32(ESC_PARK),
+                    park,
                 )
-                deesc = ok & (tier > 0)
-                park = jnp.where(deesc, park - 1, park)
-                drop = deesc & (park <= 0)
-                tier = jnp.where(drop, tier - 1, tier)
-                park = jnp.where(drop, jnp.int32(ESC_PARK), park)
+                probing = (
+                    probe_down.astype(jnp.int32)
+                    + 2 * probe_up.astype(jnp.int32)
+                )
             hfac = n.safety * jnp.power(
                 jnp.maximum(enorm, 1e-300), expo
             )
@@ -1158,17 +1200,18 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                     ),
                 ),
             )
-            return (u, t, h, f0, k, fails, attempts + 1, tier, park)
+            return (u, t, h, f0, k, fails, attempts + 1, tier, park,
+                    probing)
 
         if use_chain:
             f0 = ops.rhs(ops.groom(u), t)
         else:
             f0 = jnp.zeros((), dtype=t.dtype)  # unused carry slot
         zero = jnp.asarray(0, dtype=jnp.int32)
-        u, t, h, f0, k, fails, attempts, _, _ = jax.lax.while_loop(
+        u, t, h, f0, k, fails, attempts, _, _, _ = jax.lax.while_loop(
             cond, body,
             (u, t, h, f0, zero, zero, zero, zero,
-             jnp.asarray(ESC_PARK, dtype=jnp.int32)),
+             jnp.asarray(ESC_PARK, dtype=jnp.int32), zero),
         )
         return u, t, h, k, attempts, fails >= max_rejects
 
