@@ -251,9 +251,13 @@ def test_two_process_adaptive_checkpoint_resume(tmp_path):
 
 
 @pytest.mark.slow
-def test_resume_slab_series_wrong_size_errors(tmp_path):
-    """Resuming a 2-rank slab checkpoint single-process must fail with
-    the tsmerge advice, not silently read one rank's slab."""
+def test_resume_slab_series_single_process_virtual_view(tmp_path):
+    """A SINGLE process resuming a 2-rank slab checkpoint gets the
+    virtual slab view (r5): the reader assembles the global state
+    across the set, so the resume proceeds WITHOUT a tsmerge pass —
+    previously this errored with tsmerge advice.  (Multi-process
+    resumes from a different-size set still error; ic.resume_values.)
+    """
     optB = str(tmp_path / "optsB")
     with open(optB, "w") as f:
         f.write(ADAPTIVE_OPTIONS.format(maxsteps=2))
@@ -263,13 +267,28 @@ def test_resume_slab_series_wrong_size_errors(tmp_path):
     optC = str(tmp_path / "optsC")
     with open(optC, "w") as f:
         f.write(ADAPTIVE_OPTIONS.format(maxsteps=4))
+    saveC = str(tmp_path / "C")
     p = _run_solver(
-        optC, str(tmp_path / "C"), {"KSFD_NUM_CPU_DEVICES": "4"},
+        optC, saveC, {"KSFD_NUM_CPU_DEVICES": "4"},
         args=("--resume=" + cpB + "_2_",),
     )
     out, _ = p.communicate(timeout=300)
-    assert p.returncode != 0
-    assert "tsmerge" in out, out
+    assert p.returncode == 0, out
+    # the resumed run continued past the checkpoint's 2 steps and its
+    # first snapshot equals the checkpoint state assembled globally
+    with h5py.File(saveC + "s1r0.h5", "r") as hc:
+        ks = sorted(int(k[4:]) for k in hc if k.startswith("data"))
+        assert ks[-1] >= 3, ks
+        first = np.asarray(hc["data%d" % ks[0]])
+    from ksfd_tpu.io.timeseries import TimeSeries
+
+    cp = TimeSeries(cpB + "_2_", mode="r")
+    assert cp.virtual
+    np.testing.assert_allclose(
+        first, cp.retrieve_by_time(cp.sorted_times()[-1]),
+        rtol=0, atol=1e-12,
+    )
+    cp.close()
 
 
 ENSEMBLE_OPTIONS = """\

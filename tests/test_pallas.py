@@ -344,16 +344,18 @@ def test_sharded_adaptive_chunk_f64(ops2d, monkeypatch):
     u0 = ops.groom(jnp.asarray(rough_state(grid)))
     t0, h0 = jnp.asarray(0.0), jnp.asarray(1e-3)
 
-    chunk1, _ = make_adaptive_chunk_fn(
-        ops, NumericsOptions(), atol=0.01, rtol=1e-6
-    )
+    # pc_dtype pinned f32: the identity comparison needs the same pc
+    # on both sides ('auto' engages the bf16 wire lever on the
+    # sharded side, a deliberate non-identity default)
+    nm = NumericsOptions(pc_dtype="float32")
+    chunk1, _ = make_adaptive_chunk_fn(ops, nm, atol=0.01, rtol=1e-6)
     u1, t1, h1, k1, a1, r1 = chunk1(u0, t0, h0, 1e9, 5)
     assert int(k1) > 0
 
     mesh = grid_mesh(grid, shape=(8, 1))
     u_sh, _ = distribute(u0, grid, mesh=mesh)
     chunks, _ = make_adaptive_chunk_fn(
-        ops, NumericsOptions(), atol=0.01, rtol=1e-6, mesh=mesh
+        ops, nm, atol=0.01, rtol=1e-6, mesh=mesh
     )
     us, ts_, hs_, ks_, as_, rs_ = chunks(u_sh, t0, h0, 1e9, 5)
     assert int(ks_) == int(k1) and int(as_) == int(a1)
