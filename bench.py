@@ -57,30 +57,31 @@ def _rough_state(grid, ps):
     y = np.arange(ny) / ny
     X, Y = np.meshgrid(x, y, indexing="ij")
     rng = np.random.default_rng(1234)
-    npeaks = max(8, (nx * ny) // 65536)
-    rho = np.full((nx, ny), 400.0)
+    # aggregation-scale capped peaks holding MOST of the mass (the
+    # production pattern at 1536^2 has ~420 aggregates of ~15-25 cell
+    # radius at the cap with a depleted background; a state whose
+    # peaks hold negligible mass just diffuses flat and the stiffness
+    # evaporates within a few accepts — measured r5).  rho*Vcap' at
+    # the capped peaks is the stiffness driver: the pc's max-bound
+    # rho diffusivity then over-damps the background by ~2 orders.
+    npeaks = max(48, (nx * ny) // 8192)
+    rho = np.full((nx, ny), 300.0)
     for cx, cy in rng.random((npeaks, 2)):
-        # periodic squared distance, width ~4 cells
+        # periodic squared distance, width ~10 cells
         dx = np.minimum(np.abs(X - cx), 1.0 - np.abs(X - cx))
         dy = np.minimum(np.abs(Y - cy), 1.0 - np.abs(Y - cy))
-        w = 4.0 / nx
-        rho += 0.88 * rhomax * np.exp(-(dx**2 + dy**2) / (2 * w * w))
-    rho = np.minimum(rho, 0.92 * rhomax)
-    # ligands near their local steady state s/gamma * rho, slightly
-    # smoothed (the real fields diffuse); the exact profile only needs
-    # to be aggregation-CLASS, not a trajectory point
-    smooth = rho
-    for _ in range(3):
-        smooth = 0.25 * (
-            np.roll(smooth, 1, 0) + np.roll(smooth, -1, 0)
-            + np.roll(smooth, 1, 1) + np.roll(smooth, -1, 1)
-        )
+        w = 10.0 / nx
+        rho += 0.95 * rhomax * np.exp(-(dx**2 + dy**2) / (2 * w * w))
+    rho = np.minimum(rho, 0.93 * rhomax)
+    # ligands at their pointwise steady state s/gamma * rho: the
+    # rho gradients then transfer straight into the chemotactic
+    # velocity, keeping the solve stiffness sustained
     fields = [rho]
     for lig in ps.Vgroups.ligands():
         suffix = lig.name()[1:]
         sval = float(v0.get("s" + suffix, lig.s))
         gval = float(v0.get("gamma" + suffix, lig.gamma))
-        fields.append(smooth * (sval / gval))
+        fields.append(rho * (sval / gval))
     return np.stack(fields)
 
 
@@ -316,11 +317,22 @@ def main(argv=None):
         max_attempts=8 * (args.steps + 4),
     )
 
-    def run_stiff(up, n):
-        u1, t1, h1, k1, att1, rej1 = chunk_st(up, t, h_st, 1e30, n)
+    def run_stiff(up, n, h0=None):
+        u1, t1, h1, k1, att1, rej1 = chunk_st(
+            up, t, h0 if h0 is not None else h_st, 1e30, n
+        )
         fence(u1, t1)
         return u1, int(k1), int(att1), bool(rej1)
 
+    # untimed ON-DEVICE spin-up: ~64 accepted steps from a SMALL h
+    # (the raw synthetic state is off-manifold; the controller ramps
+    # h to the dt_max pin itself) settle the state onto the dynamics'
+    # own rough manifold so the TIMED regime is the sustained stiff
+    # one, not a relaxation transient the slope would subtract away
+    urough, kw, attw, rejw = run_stiff(
+        urough, 64, h0=jnp.asarray(1e-3)
+    )
+    assert kw == 64 and not rejw, (kw, attw, rejw)
     st_uw = {}
     st_att = {}
     for nst in (n_small, n_big):
