@@ -1154,6 +1154,16 @@ def make_adaptive_chunk_fn(ops, numerics=None, atol=1e-5, rtol=1e-5,
                     jnp.int32(ESC_PARK),
                     park,
                 )
+                # an up-probe that found NO improvement (bounced back
+                # down) backs the next probe off 4x: on genuinely
+                # truncation-limited phases (hexagons2d: enorm equal
+                # at every tier) the per-16-accept up-probe tax
+                # measured +25% wall; the backoff cuts it to ~6%
+                # while the FIRST probe — the solve-floor trap escape
+                # — still fires after 16 accepts
+                park = jnp.where(
+                    up_return, jnp.int32(4 * ESC_PARK), park
+                )
                 probing = (
                     probe_down.astype(jnp.int32)
                     + 2 * probe_up.astype(jnp.int32)
