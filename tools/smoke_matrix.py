@@ -47,12 +47,15 @@ def main(argv=None):
 
     cases = []
     for ts in ("rosw", "arkimex", "ark436", "beuler"):
-        for ksp in ("richardson", "gmres", "gmres_scipy", "gmres_rolled",
-                    "gmres_restarted", "dense", "banded", "lu"):
+        for ksp in ("richardson", "chebyshev", "gmres", "gmres_scipy",
+                    "gmres_rolled", "gmres_restarted", "dense",
+                    "banded", "lu"):
             cases.append(dict(ts_type=ts, ksp_type=ksp))
     if not args.quick:
-        for ksp in ("richardson", "gmres_rolled", "gmres"):
+        for ksp in ("richardson", "chebyshev", "gmres_rolled", "gmres"):
             cases.append(dict(ksp_type=ksp, device_loop=True))
+        cases.append(dict(device_loop=True, esc_cheb=False))
+        cases.append(dict(device_loop=True, ksp_iters_max2=0))
         for pc in ("block", "spectral", "none"):
             cases.append(dict(pc_type=pc))
             cases.append(dict(pc_type=pc, ksp_type="gmres_scipy"))
