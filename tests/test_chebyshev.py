@@ -136,3 +136,25 @@ def test_decode_cheb_options():
     assert nm.cheb_lmin == 0.1
     assert nm.cheb_safety == 0.8
     assert not nm.unrecognized
+
+
+def test_cheb_with_dirk_stage_solves(prob):
+    """-ksp_type chebyshev also serves the ESDIRK (arkimex) stage
+    solves' modified-Newton iterations."""
+    ps, grid, ops = prob
+    u = jnp.asarray(exact_state(ps, grid, 0.0))
+    s, _ = make_step_fn(
+        ops,
+        NumericsOptions(ts_type="arkimex", ksp_type="chebyshev",
+                        ksp_iters=16),
+        atol=0.01, rtol=1e-6,
+    )
+    u1, e = s(u, 0.0, 1.0)
+    assert np.isfinite(float(e)) and float(e) <= 1.0
+    sr, _ = make_step_fn(
+        ops, NumericsOptions(ts_type="arkimex", ksp_iters=16),
+        atol=0.01, rtol=1e-6,
+    )
+    u1r, er = sr(u, 0.0, 1.0)
+    inc = float(jnp.max(jnp.abs(u1r - u)))
+    assert float(jnp.max(jnp.abs(u1 - u1r))) < 1e-4 * max(inc, 1.0)
